@@ -1,0 +1,61 @@
+"""tamp-tpu: a TPU-native implementation of the Tamp compression format.
+
+Public API mirrors the ``tamp`` reference package (BrianPugh/tamp
+tamp/__init__.py): ``compress`` / ``decompress`` one-shots, streaming
+``Compressor`` / ``Decompressor`` (plus ``Text*`` variants), ``open``,
+``initialize_dictionary``, and ``compute_min_pattern_size`` — with additional
+TPU-first entry points under :mod:`tamp_tpu.engine` (vectorized single-chip
+codec) and :mod:`tamp_tpu.parallel` (data-parallel sharded streams over a
+device mesh).
+"""
+
+__version__ = "0.1.0"
+
+from .compressor import Compressor, TextCompressor, compress
+from .constants import compute_min_pattern_size
+from .decompressor import Decompressor, TextDecompressor, decompress
+from .dictionary import initialize_dictionary
+from .exceptions import ExcessBitsError, OutOfBoundsError
+
+__all__ = [
+    "Compressor",
+    "TextCompressor",
+    "compress",
+    "Decompressor",
+    "TextDecompressor",
+    "decompress",
+    "initialize_dictionary",
+    "compute_min_pattern_size",
+    "ExcessBitsError",
+    "OutOfBoundsError",
+    "open",
+    "bit_size",
+    "__version__",
+]
+
+_builtin_open = open
+
+
+def bit_size(value: int) -> int:
+    """Number of bits needed to represent ``value`` (0 for 0; -1 if 32+ bits)."""
+    for i in range(32):
+        if not value:
+            return i
+        value >>= 1
+    return -1
+
+
+def open(f, mode: str = "rb", **kwargs):
+    """Open a Tamp stream for reading (decompression) or writing (compression).
+
+    ``mode`` follows the reference contract: ``"r"``/``"rb"`` return a
+    (Text)Decompressor, ``"w"``/``"wb"`` a (Text)Compressor; binary modes
+    operate on bytes, text modes on str.
+    """
+    if "r" in mode and "w" in mode:
+        raise ValueError(f"Cannot open in both read and write mode: {mode!r}")
+    if "r" in mode:
+        return Decompressor(f, **kwargs) if "b" in mode else TextDecompressor(f, **kwargs)
+    if "w" in mode:
+        return Compressor(f, **kwargs) if "b" in mode else TextCompressor(f, **kwargs)
+    raise ValueError(f"Invalid mode: {mode!r}")
