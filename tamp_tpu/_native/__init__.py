@@ -1,0 +1,201 @@
+"""Native engine loader: builds tampnative.cpp on demand and binds via ctypes.
+
+The native library carries the O(N) sequential parts of the codec (greedy
+commit, bit-pack, token decode) at memory speed, complementing the TPU's
+O(N*window) parallel search.  If no C++ toolchain is available the Python
+engine paths are used instead — ``available()`` reports which.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tampnative.cpp")
+_LIB_PATH = os.path.join(_HERE, "libtampnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_error: str | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB_PATH + ".tmp", _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        # -march=native may be unsupported; retry portable.
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB_PATH + ".tmp", _SRC],
+            check=True, capture_output=True, timeout=300,
+        )
+    os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+
+
+def _load():
+    global _lib, _load_error
+    with _lock:
+        if _lib is not None or _load_error is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception as e:  # toolchain missing, build failure, ...
+            _load_error = f"{type(e).__name__}: {e}"
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        cint = ctypes.c_int
+
+        lib.tampn_init_dictionary.argtypes = [u8p, i64, cint]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.tampn_compress.argtypes = [
+            u8p, i64, u8p, i32p, u8p, i32p, u8p,
+            cint, cint, cint, cint, cint, cint, cint,
+            u32p, i64p, cint, u8p, i64, i64p,
+        ]
+        lib.tampn_compress.restype = cint
+        lib.tampn_decompress.argtypes = [u8p, i64, u8p, i64, u8p, i64, i64p]
+        lib.tampn_decompress.restype = cint
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_error() -> str | None:
+    _load()
+    return _load_error
+
+
+def _u8p(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def native_compress(
+    data: bytes,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    extended: bool = True,
+    lazy_matching: bool = False,
+    dictionary: bytes | None = None,
+    tables=None,
+    write_header: bool = True,
+    avoid_divergence: bool = False,
+    khat=None,
+    plan=None,
+) -> bytes:
+    """One-shot compression via the native committer.
+
+    ``tables`` is an optional MatchTables (from the TPU search) — without it
+    the native engine runs its own exact scalar search.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    from ..constants import compute_min_pattern_size
+    from ..exceptions import ExcessBitsError
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = arr.shape[0]
+    dict_arr = None
+    if dictionary is not None:
+        dict_arr = np.frombuffer(bytes(dictionary), dtype=np.uint8)
+        if dict_arr.shape[0] != (1 << window):
+            raise ValueError("Dictionary-window size mismatch.")
+
+    flen = fidx = plen = pidx = None
+    if tables is not None:
+        minp = compute_min_pattern_size(window, literal)
+        maxpat = minp + (131 if extended else 13)
+        if min(16, maxpat) == 16:
+            flen, fidx = tables.len16, tables.idx16
+        else:
+            flen, fidx = tables.len15, tables.idx15
+        flen = np.ascontiguousarray(flen, dtype=np.uint8)
+        fidx = np.ascontiguousarray(fidx, dtype=np.int32)
+        if lazy_matching:
+            if tables.probe_len is None:
+                raise ValueError("lazy commit requires probe tables")
+            plen = np.ascontiguousarray(tables.probe_len, dtype=np.uint8)
+            pidx = np.ascontiguousarray(tables.probe_idx, dtype=np.int32)
+
+    khat_p = None
+    plan_p = None
+    n_plan = 0
+    if plan is not None and len(plan):
+        if khat is None:
+            raise ValueError("a run plan requires the khat mapping")
+        plan_arr = np.ascontiguousarray(plan, dtype=np.int64).reshape(-1)
+        n_plan = plan_arr.shape[0] // 2
+        plan_p = plan_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if khat is not None:
+        khat_arr = np.ascontiguousarray(khat, dtype=np.uint32)
+        khat_p = khat_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+    # Worst case: header(2) + per byte (1 + literal) bits, rounded up.
+    cap = 16 + n + ((n * (1 + literal)) >> 3)
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_int64(0)
+    rc = lib.tampn_compress(
+        _u8p(arr), n, _u8p(flen), _i32p(fidx), _u8p(plen), _i32p(pidx),
+        _u8p(dict_arr), window, literal, int(extended), int(lazy_matching),
+        int(write_header), int(dictionary is not None), int(avoid_divergence),
+        khat_p, plan_p, n_plan,
+        _u8p(out), cap, ctypes.byref(out_len),
+    )
+    if rc == -2:
+        raise ExcessBitsError
+    if rc != 0:
+        raise RuntimeError(f"native compress failed: rc={rc}")
+    return out[: out_len.value].tobytes()
+
+
+def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytearray:
+    """One-shot decompression via the native decoder (grow-and-retry)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    dict_arr = (
+        np.frombuffer(bytes(dictionary), dtype=np.uint8) if dictionary is not None else None
+    )
+    dict_len = 0 if dict_arr is None else dict_arr.shape[0]
+    cap = max(4096, 8 * arr.shape[0])
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        out_len = ctypes.c_int64(0)
+        rc = lib.tampn_decompress(
+            _u8p(arr), arr.shape[0], _u8p(dict_arr), dict_len,
+            _u8p(out), cap, ctypes.byref(out_len),
+        )
+        if rc == 0:
+            return bytearray(out[: out_len.value].tobytes())
+        if rc == 1:
+            cap *= 4
+            continue
+        raise ValueError(f"invalid tamp stream (native rc={rc})")

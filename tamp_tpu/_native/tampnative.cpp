@@ -1,0 +1,707 @@
+// tamp-tpu native engine: table-assisted committer, standalone codec, decoder.
+//
+// Design (see tamp_tpu/engine/__init__.py): the TPU computes per-position
+// match tables (the O(N*W) work); this library runs the O(N) sequential
+// greedy commit with the reference encoder's exact semantics — RLE and
+// extended-match state machines, lazy matching, flush-drain tail — and packs
+// bits at memory speed.  Behavioral spec: BrianPugh/tamp
+// tamp/compressor.py:281-447 and tamp/_c_src/tamp/decompressor.c (semantics
+// re-implemented, not ported).
+//
+// Extended-format window divergence: RLE writes at most 8 bytes and
+// extended matches never wrap, so the ring can diverge from the pure input
+// history the tables were computed against.  The committer tracks deletion
+// events and validates each table candidate against the true write history
+// (position mapping + residency + ring-linearity); invalid candidates fall
+// back to an exact scalar search over the materialized ring.  Before the
+// first divergence the tables are used verbatim, preserving byte parity
+// with the reference encoder.
+//
+// Build: g++ -O3 -shared -fPIC (see build.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <utility>
+
+namespace {
+
+// ---- format constants (docs/source/specification.rst) ---------------------
+const uint16_t HUFF_CODE[15] = {0x00, 0x03, 0x08, 0x0B, 0x14, 0x24, 0x26, 0x2B,
+                                0x4B, 0x54, 0x94, 0x95, 0xAA, 0x27, 0xAB};
+const uint8_t HUFF_BITS[15] = {2, 3, 5, 5, 6, 7, 7, 7, 8, 8, 9, 9, 9, 7, 9};
+const int RLE_SYM = 12, EXT_SYM = 13, FLUSH_SYM = 14;
+const int RLE_TRAIL = 4, EXT_TRAIL = 3;
+const int RLE_MAX = 241, RLE_MAX_WIN = 8;
+const int LOOKAHEAD = 16;
+
+inline int min_pattern_size(int window, int literal) {
+  return 2 + (window > (10 + ((literal - 5) << 1)) ? 1 : 0);
+}
+
+// ---- xorshift32 dictionary (spec "Dictionary Initialization") -------------
+void init_dictionary(uint8_t* buf, int64_t size, int literal) {
+  static const uint8_t common[16] = {' ', 'e', 't', 'a', 'o', 'i', 'n', 's',
+                                     'h', 'r', 'd', 'l', 'c', 'u', 'm', 'w'};
+  static const uint8_t chars8[16] = {' ', 0, '0', 'e', 'i', '>', 't', 'o',
+                                     '<', 'a', 'n', 's', '\n', 'r', '/', '.'};
+  uint8_t chars[16];
+  if (literal <= 6) {
+    uint8_t mask = (uint8_t)((1u << literal) - 1);
+    for (int i = 0; i < 16; i++) chars[i] = common[i] & mask;
+  } else {
+    std::memcpy(chars, chars8, 16);
+  }
+  uint32_t s = 3758097560u;
+  int64_t words = size >> 3;
+  uint8_t* p = buf;
+  for (int64_t i = 0; i < words; i++) {
+    s ^= s << 13; s ^= s >> 17; s ^= s << 5;
+    uint32_t v = s;
+    for (int k = 0; k < 8; k++) { *p++ = chars[v & 0xF]; v >>= 4; }
+  }
+  if ((size & 7) != 0) std::memset(buf + words * 8, 0, size & 7);
+}
+
+// ---- bit writer ------------------------------------------------------------
+struct BitWriter {
+  uint8_t* out; int64_t cap; int64_t n = 0;
+  uint64_t acc = 0; int bits = 0; bool overflow = false;
+  BitWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
+  inline void put(uint32_t code, int nbits) {
+    acc = (acc << nbits) | (code & ((1u << nbits) - 1));
+    bits += nbits;
+    while (bits >= 8) {
+      if (n >= cap) { overflow = true; bits = 0; return; }
+      out[n++] = (uint8_t)(acc >> (bits - 8));
+      bits -= 8;
+    }
+  }
+  inline void pad() {
+    if (bits > 0) {
+      if (n >= cap) { overflow = true; return; }
+      out[n++] = (uint8_t)(acc << (8 - bits));
+      bits = 0;
+    }
+    acc = 0;
+  }
+  inline void huff(int sym) { put(HUFF_CODE[sym], HUFF_BITS[sym]); }
+  inline void ext_value(int value, int trail) {  // secondary huffman + trail
+    int sym = value >> trail;
+    put(HUFF_CODE[sym], HUFF_BITS[sym] - 1);
+    put(value & ((1 << trail) - 1), trail);
+  }
+};
+
+// ---- exact linear-buffer search (reference growing-prefix semantics) ------
+// Lowest index of the longest prefix of target present in ring[0..W).
+inline int find_pattern(const uint8_t* ring, int W, const uint8_t* pat,
+                        int plen, int from) {
+  const uint8_t first = pat[0];
+  const int last = W - plen;
+  for (int i = from; i <= last; i++) {
+    const uint8_t* hit =
+        (const uint8_t*)std::memchr(ring + i, first, (size_t)(last - i + 1));
+    if (!hit) return -1;
+    i = (int)(hit - ring);
+    if (plen == 1 || std::memcmp(ring + i + 1, pat + 1, (size_t)(plen - 1)) == 0)
+      return i;
+  }
+  return -1;
+}
+
+struct SearchResult { int idx; int size; };
+
+SearchResult ring_search(const uint8_t* ring, int W, const uint8_t* target,
+                         int tlen, int cap, int minp, int start) {
+  int limit = tlen < cap ? tlen : cap;
+  if (limit < minp) return {start, 0};
+  int size = minp;
+  int idx = find_pattern(ring, W, target, size, start);
+  if (idx < 0) return {start, size - 1};
+  while (size < limit) {
+    int nxt = find_pattern(ring, W, target, size + 1, idx);
+    if (nxt < 0) break;
+    idx = nxt;
+    size++;
+  }
+  return {idx, size};
+}
+
+// ---- committer -------------------------------------------------------------
+struct Committer {
+  // config
+  int W, wbits, literal, minp, maxpat;
+  bool extended, lazy;
+  // Split extended matches at the ring end instead of truncating the window
+  // write: costs ~one extra token per ring cycle but keeps the true window
+  // identical to the model the match tables were computed against.
+  bool avoid_divergence = false;
+  // input
+  const uint8_t* data; int64_t N;
+  // tables (may be null -> standalone exact mode)
+  const uint8_t* flen; const int32_t* fidx;
+  const uint8_t* plen; const int32_t* pidx;
+  int full_cap;
+  // ring
+  std::vector<uint8_t> ring; int pos = 0;
+  std::vector<uint8_t> scratch;  // reusable copy buffer (avoids per-token alloc)
+  // Run plan (planned-RLE mode): long input runs (>=9) are RLE'd at fixed
+  // positions so their window-write truncations are part of the model the
+  // tables were computed against (the "C-hat" history).  khat[t] = number of
+  // model-written bytes among input positions < t; plan = (rle_start, end)
+  // pairs, sorted; no token may cross an rle_start boundary.
+  const uint32_t* khat = nullptr;
+  const int64_t* plan = nullptr; int n_plan = 0;
+  int plan_i = 0;
+  inline int64_t chat(int64_t p) const {  // input position -> model position
+    return khat ? (int64_t)khat[p] : p;
+  }
+  inline int64_t boundary() const {  // next uncrossable token boundary
+    return plan_i < n_plan ? plan[2 * plan_i] : INT64_MAX;
+  }
+
+  // divergence bookkeeping: deleted MODEL-coordinate ranges [from, from+count)
+  // (dynamic deviations from the model history, e.g. ring-end shortfalls)
+  struct DelEvent { int64_t from, count, cum_prev; };
+  bool diverged = false;
+  std::vector<DelEvent> dels;  // sorted by from; ranges are disjoint
+  // state
+  int64_t t = 0;
+  int rle_count = 0; int64_t rle_start = 0;
+  int ext_count = 0; int ext_pos = 0; int64_t ext_start = 0;
+  int cached_idx = -1, cached_size = 0;
+  BitWriter* bw = nullptr;
+  bool excess_bits = false;
+
+  int64_t del_upto(int64_t p) const {  // deleted input positions < p
+    if (dels.empty() || p <= dels.front().from) return 0;
+    int lo = 0, hi = (int)dels.size();  // last event with from < p
+    while (lo < hi) { int mid = (lo + hi) / 2;
+      if (dels[mid].from < p) lo = mid + 1; else hi = mid; }
+    const DelEvent& e = dels[lo - 1];
+    int64_t inside = p - e.from;
+    if (inside > e.count) inside = e.count;
+    return e.cum_prev + inside;
+  }
+  void record_deletion(int64_t from, int64_t count) {
+    int64_t base = dels.empty() ? 0 : dels.back().cum_prev + dels.back().count;
+    dels.push_back({from, count, base});
+    diverged = true;
+  }
+
+  inline uint8_t last_ring_byte() const {
+    return ring[pos == 0 ? W - 1 : pos - 1];
+  }
+  inline void ring_push(uint8_t b) {
+    ring[pos] = b;
+    if (++pos == W) pos = 0;
+  }
+  // snapshot-read size bytes at index (mod wrap), then append at pos (wrap)
+  void ring_copy_wrap(int index, int size) {
+    uint8_t tmp[16];  // cached lazy matches are <= 15 bytes
+    for (int i = 0; i < size; i++) tmp[i] = ring[(index + i) % W];
+    for (int i = 0; i < size; i++) ring_push(tmp[i]);
+  }
+  // extended-match window write: no wrap past ring end
+  void ring_selfcopy_ext(int index, int size, int64_t src_input_start) {
+    int wr = size < (W - pos) ? size : (W - pos);
+    scratch.resize((size_t)wr);
+    for (int i = 0; i < wr; i++) scratch[i] = ring[(index + i) % W];
+    std::memcpy(&ring[pos], scratch.data(), (size_t)wr);
+    pos += wr; if (pos == W) pos = 0;
+    if (wr < size) record_deletion(chat(src_input_start) + wr, size - wr);
+  }
+
+  // Validate a model-table candidate against the true write history.
+  // All arithmetic is in model ("C-hat") coordinates: position = number of
+  // model-written bytes before it.  Returns the adjusted ring index, or -1
+  // if an exact fallback is needed.
+  int validate(int64_t tt, int x_model, int len) {
+    int64_t ct = chat(tt);
+    int tau = (int)(ct % W);
+    int j = x_model - tau; if (j < 0) j += W;
+    if (j + len > W) return -1;          // wrap-glued candidate
+    int64_t p_src = ct + j - W;          // may be negative: dictionary bytes
+    int64_t d_lo = p_src > 0 ? del_upto(p_src) : 0;
+    int64_t d_hi = del_upto(p_src + len > 0 ? p_src + len : 0);
+    if (d_hi != d_lo) return -1;         // dynamic deletion inside the range
+    int64_t k_s = p_src - d_lo;
+    int64_t k_now = t_written();
+    if (k_s < k_now - W) return -1;      // expired from the true window
+    int slot = (int)(((k_s % W) + W) % W);
+    if (slot + len > W) return -1;       // true ring-linearity
+    return slot;
+  }
+  int64_t t_written() const {
+    return chat(t) - (dels.empty() ? 0 : dels.back().cum_prev + dels.back().count);
+  }
+
+  // first-search at position tt: tables when exact/valid, else ring search.
+  // ``rem`` is the effective look-ahead (already boundary-capped in planned
+  // mode).  In reference-parity mode the tables only serve the steady state
+  // (rem >= 16); the <16-byte flush drain replays the reference's shrinking
+  // search exactly.  In planned mode tables serve every position, capped.
+  SearchResult first_search(int64_t rem) {
+    int cap = (int)(rem < full_cap ? rem : full_cap);
+    if (flen && (plan ? true : rem >= LOOKAHEAD)) {
+      int len = flen[t]; int x = fidx[t];
+      if (len > cap) len = cap;
+      if (!diverged) return {x, len};
+      if (len < minp) return {x, len};  // trust "no match" (coverage loss only)
+      int slot = validate(t, x, len);
+      if (slot >= 0) return {slot, len};
+      int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+      return ring_search(ring.data(), W, data + t, tl, cap, minp, 0);
+    }
+    int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+    return ring_search(ring.data(), W, data + t, tl, cap, minp, 0);
+  }
+
+  SearchResult probe_search(int64_t rem) {  // target data[t+1:], current ring
+    int cap = 15 < maxpat ? 15 : maxpat;
+    if ((int64_t)(rem - 1) < cap) cap = (int)(rem - 1);
+    if (plen && (plan ? true : rem >= LOOKAHEAD)) {
+      int len = plen[t]; int x = pidx[t];
+      if (len > cap) len = cap;
+      if (!diverged) return {x, len};
+      if (len >= minp) {
+        int slot = validate(t, x, len);  // probe slots share the t-basis
+        if (slot >= 0) return {slot, len};
+      }
+      int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
+      return ring_search(ring.data(), W, data + t + 1, tl, cap, minp, 0);
+    }
+    int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
+    return ring_search(ring.data(), W, data + t + 1, tl, cap, minp, 0);
+  }
+
+  bool emit_literal(uint8_t b) {
+    if (literal < 8 && (b >> literal)) { excess_bits = true; return false; }
+    bw->put((1u << literal) | b, literal + 1);
+    ring_push(b);
+    return true;
+  }
+  void emit_match(int idx, int size) {
+    bw->huff(size - minp);
+    bw->put((uint32_t)idx, wbits);
+    // matched bytes equal the consumed input; write them with wrap
+    for (int i = 0; i < size; i++) ring_push(data[t + i]);
+  }
+  void emit_match_cached(int idx, int size) {
+    bw->huff(size - minp);
+    bw->put((uint32_t)idx, wbits);
+    ring_copy_wrap(idx, size);
+  }
+  void emit_rle() {
+    int count = rle_count; rle_count = 0;
+    uint8_t b = last_ring_byte();
+    if (count == 1) { emit_literal(b); return; }
+    bw->huff(RLE_SYM);
+    bw->ext_value(count - 2, RLE_TRAIL);
+    int wr = count; if (wr > RLE_MAX_WIN) wr = RLE_MAX_WIN;
+    if (wr > W - pos) wr = W - pos;
+    for (int i = 0; i < wr; i++) ring_push(b);
+    if (wr < count) record_deletion(chat(rle_start) + wr, count - wr);
+  }
+
+  // Planned-run RLE: cover [t, end) with RLE tokens in fixed chunks that the
+  // host planner used when building the model history (241 max; never leave
+  // a trailing single byte, which would be unencodable).
+  void forced_rle(int64_t end) {
+    cached_idx = -1;
+    uint8_t b = last_ring_byte();
+    while (t < end) {
+      int64_t remn = end - t;
+      int count = remn < RLE_MAX ? (int)remn : RLE_MAX;
+      if (remn - count == 1) count--;
+      bw->huff(RLE_SYM);
+      bw->ext_value(count - 2, RLE_TRAIL);
+      int w_plan = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+      int wr = w_plan < (W - pos) ? w_plan : (W - pos);
+      for (int i = 0; i < wr; i++) ring_push(b);
+      if (wr < w_plan) record_deletion(chat(t) + wr, w_plan - wr);
+      t += count;
+    }
+  }
+  void emit_ext_match() {
+    if (avoid_divergence && ext_count > W - pos) {
+      int room = W - pos;
+      if (room >= minp + 12) {
+        // Shorten to exactly fill the ring: full window write, no deletion.
+        bw->huff(EXT_SYM);
+        bw->ext_value(room - minp - 12, EXT_TRAIL);
+        bw->put((uint32_t)ext_pos, wbits);
+        ring_selfcopy_ext(ext_pos, room, ext_start);
+        t = ext_start + room;  // re-tokenize the unconsumed tail
+      } else {
+        // Too little room for an extended token: emit a basic match (its
+        // window write wraps, so it never truncates).
+        int L = ext_count < minp + 11 ? ext_count : minp + 11;
+        bw->huff(L - minp);
+        bw->put((uint32_t)ext_pos, wbits);
+        for (int i = 0; i < L; i++) ring_push(data[ext_start + i]);
+        t = ext_start + L;
+      }
+      ext_count = 0; ext_pos = 0;
+      return;
+    }
+    bw->huff(EXT_SYM);
+    bw->ext_value(ext_count - minp - 12, EXT_TRAIL);
+    bw->put((uint32_t)ext_pos, wbits);
+    ring_selfcopy_ext(ext_pos, ext_count, ext_start);
+    ext_count = 0; ext_pos = 0;
+  }
+
+  // one reference "poll": consume input until one token (or buffer need)
+  void step() {
+    int64_t rem = N - t;
+    if (rem <= 0) return;
+
+    // --- planned-run boundaries ----------------------------------------
+    int64_t B = INT64_MAX;  // no token may extend to or past this position
+    if (plan) {
+      while (plan_i < n_plan && t >= plan[2 * plan_i + 1]) plan_i++;
+      B = boundary();
+      // The forced RLE fires only once any pending extended match has been
+      // emitted (tokens must stay in stream order).
+      if (!ext_count && plan_i < n_plan && t == plan[2 * plan_i]) {
+        int64_t end = plan[2 * plan_i + 1];
+        plan_i++;
+        forced_rle(end);
+        return;
+      }
+      if (B - t < rem) rem = B - t;  // cap the effective look-ahead
+    }
+
+    // --- extended-match continuation -----------------------------------
+    if (ext_count) {
+      cached_idx = -1;
+      uint8_t target[160];  // max_pattern + 1 <= 135
+      while (t < N) {
+        if (plan && t >= B) { emit_ext_match(); return; }
+        if (ext_pos + ext_count >= W) { emit_ext_match(); return; }
+        // target = ring[ext_pos..+count] ++ next byte; search from ext_pos
+        for (int i = 0; i < ext_count; i++) target[i] = ring[(ext_pos + i) % W];
+        target[ext_count] = data[t];
+        // Reference semantics relocate only to sources at >= ext_pos
+        // (compressor.py:304); in planned (non-parity) mode searching the
+        // whole window finds strictly more growth opportunities.
+        SearchResult r = ring_search(ring.data(), W, target,
+                                     ext_count + 1, maxpat, minp,
+                                     plan ? 0 : ext_pos);
+        if (r.size > ext_count) {
+          t++;
+          ext_count = r.size; ext_pos = r.idx;
+          if (ext_count == maxpat) { emit_ext_match(); return; }
+        } else {
+          emit_ext_match(); return;
+        }
+      }
+      return;  // drained input while growing
+    }
+
+    // --- RLE accumulation / decision -----------------------------------
+    if (extended) {
+      uint8_t last = last_ring_byte();
+      int pend = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+      int avail = 0;
+      while (avail < pend && data[t + avail] == last &&
+             rle_count + avail < RLE_MAX) avail++;
+      int total = rle_count + avail;
+      bool ended = (avail < pend) || (total >= RLE_MAX);
+      // A run reaching a planned boundary cannot continue: emit it now so no
+      // pending rle_count leaks into the forced-RLE region.
+      if (plan && t + avail >= B) ended = true;
+      if (!ended && total > 0) {
+        cached_idx = -1;
+        if (rle_count == 0) rle_start = t;
+        rle_count = total;
+        t += avail;
+        return;
+      }
+      if (total >= 2) {
+        bool use_pattern = false;
+        if (total == avail && total <= 6) {
+          SearchResult r = first_search(rem);
+          if (r.size > total) use_pattern = true;
+        }
+        if (!use_pattern) {
+          cached_idx = -1;
+          if (rle_count == 0) rle_start = t;
+          t += avail;
+          rle_count = total;
+          emit_rle();
+          return;
+        }
+        rle_count = 0;
+      } else if (total == 1) {
+        if (rle_count == 1) { cached_idx = -1; emit_rle(); return; }
+        rle_count = 0;
+      }
+    }
+
+    // --- pattern matching ----------------------------------------------
+    int idx, size;
+    bool from_cache = false;
+    if (lazy && cached_idx >= 0 && (int64_t)cached_size <= rem) {
+      idx = cached_idx; size = cached_size; cached_idx = -1; from_cache = true;
+    } else {
+      cached_idx = -1;
+      SearchResult r = first_search(rem);
+      idx = r.idx; size = r.size;
+    }
+
+    int pend = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+    if (lazy && size >= minp && size <= 8 && pend > size + 2) {
+      SearchResult p = probe_search(rem);
+      int tau = pos;  // true ring write head == reference window pos
+      if (p.size > size && !(p.idx <= tau && tau < p.idx + p.size)) {
+        if (!emit_literal(data[t])) return;
+        cached_idx = p.idx; cached_size = p.size;
+        t++;
+        return;
+      }
+    }
+
+    if (size >= minp) {
+      if (extended && size > minp + 11) {
+        ext_pos = idx; ext_count = size; ext_start = t;
+        t += size;
+      } else {
+        if (from_cache) emit_match_cached(idx, size);
+        else emit_match(idx, size);
+        t += size;
+      }
+    } else {
+      if (!emit_literal(data[t])) return;
+      t++;
+    }
+  }
+
+  int run(BitWriter& writer) {
+    bw = &writer;
+    while (true) {
+      while (t < N) {
+        step();
+        if (excess_bits) return -2;
+        if (bw->overflow) return -1;
+      }
+      // flush drain: pending RLE / extended state.  A divergence-avoiding
+      // extended emit may hand back unconsumed bytes (t < N): keep going.
+      if (extended && rle_count) emit_rle();
+      if (extended && ext_count) emit_ext_match();
+      if (excess_bits) return -2;
+      if (bw->overflow) return -1;
+      if (t >= N) break;
+    }
+    bw->pad();
+    if (bw->overflow) return -1;
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Initialize a default dictionary buffer (format invariant).
+void tampn_init_dictionary(uint8_t* buf, int64_t size, int literal) {
+  init_dictionary(buf, size, literal);
+}
+
+// Table-assisted or standalone one-shot compression.
+// flen/fidx: full-cap table (cap = min(16, max_pattern)); may be null.
+// plen/pidx: lazy-probe table; may be null (required if lazy and flen set).
+// dict: initialized window buffer (1<<window bytes) or null for default.
+// Returns 0 ok, -1 output full, -2 excess bits.
+int tampn_compress(const uint8_t* data, int64_t n,
+                   const uint8_t* flen, const int32_t* fidx,
+                   const uint8_t* plen, const int32_t* pidx,
+                   const uint8_t* dict, int window, int literal,
+                   int extended, int lazy, int write_header, int custom_dict,
+                   int avoid_divergence,
+                   const uint32_t* khat, const int64_t* plan, int n_plan,
+                   uint8_t* out, int64_t out_cap, int64_t* out_len) {
+  Committer c;
+  c.W = 1 << window; c.wbits = window; c.literal = literal;
+  c.minp = min_pattern_size(window, literal);
+  c.maxpat = extended ? c.minp + 131 : c.minp + 13;
+  c.extended = extended != 0; c.lazy = lazy != 0;
+  c.avoid_divergence = avoid_divergence != 0 && extended != 0;
+  c.data = data; c.N = n;
+  if (extended) { c.khat = khat; c.plan = plan; c.n_plan = n_plan; }
+  c.flen = flen; c.fidx = fidx; c.plen = plen; c.pidx = pidx;
+  c.full_cap = (LOOKAHEAD < c.maxpat) ? LOOKAHEAD : c.maxpat;
+  c.ring.resize(c.W);
+  if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
+  else init_dictionary(c.ring.data(), c.W, extended ? literal : 8);
+
+  BitWriter bw(out, out_cap);
+  if (write_header) {
+    uint32_t h = (uint32_t)(((window - 8) << 5) | ((literal - 5) << 3) |
+                            ((custom_dict ? 1 : 0) << 2) |
+                            ((extended ? 1 : 0) << 1));
+    bw.put(h, 8);
+  }
+  int rc = c.run(bw);
+  *out_len = bw.n;
+  return rc;
+}
+
+// One-shot decompression of a complete stream (header included).
+// dict: caller-supplied custom dictionary (or null).  Returns 0 ok,
+// 1 output full (caller should retry with a larger buffer), -3 invalid.
+int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
+                     int64_t dict_len, uint8_t* out, int64_t out_cap,
+                     int64_t* out_len) {
+  *out_len = 0;
+  if (n < 1) return 0;
+  uint8_t h = in[0];
+  int window = (h >> 5) + 8, literal = ((h >> 3) & 3) + 5;
+  bool custom = (h >> 2) & 1, extended = (h >> 1) & 1, more = h & 1;
+  int64_t pos_in = 1;
+  if (more) {
+    if (n < 2) return 0;
+    if (in[1] != 0) return -3;
+    pos_in = 2;
+  }
+  int W = 1 << window;
+  if (custom && (!dict || dict_len < W)) return -3;
+  int minp = min_pattern_size(window, literal);
+
+  std::vector<uint8_t> ring(W);
+  if (custom) std::memcpy(ring.data(), dict, (size_t)W);
+  else init_dictionary(ring.data(), W, extended ? literal : 8);
+  int pos = 0;
+
+  uint64_t acc = 0; int bits = 0;
+  int64_t o = 0;
+  bool last_was_flush = false;
+  bool eof = false, bad = false;
+
+  auto refill = [&](int need) -> bool {
+    while (bits < need) {
+      if (pos_in >= n) { eof = true; return false; }
+      acc = (acc << 8) | in[pos_in++];
+      bits += 8;
+    }
+    return true;
+  };
+  auto take = [&](int nb) -> uint32_t {
+    uint32_t v = (uint32_t)((acc >> (bits - nb)) & ((1ull << nb) - 1));
+    bits -= nb;
+    return v;
+  };
+  // Huffman symbol, bit by bit (max 8 code bits); key = (1 << len) | code.
+  auto read_sym = [&]() -> int {
+    uint32_t key = 1;
+    for (int i = 0; i < 8; i++) {
+      if (!refill(1)) return -1;
+      key = (key << 1) | take(1);
+      switch (key) {
+        case 0b10: return 0;           case 0b111: return 1;
+        case 0b11000: return 2;        case 0b11011: return 3;
+        case 0b110100: return 4;       case 0b1100100: return 5;
+        case 0b1100110: return 6;      case 0b1101011: return 7;
+        case 0b11001011: return 8;     case 0b11010100: return 9;
+        case 0b110010100: return 10;   case 0b110010101: return 11;
+        case 0b110101010: return 12;   case 0b1100111: return 13;
+        case 0b110101011: return 14;
+      }
+    }
+    bad = true;
+    return -1;
+  };
+
+  while (true) {
+    if (!refill(1)) break;
+    // Token-atomic: snapshot so a partial token at end-of-input rolls back.
+    uint64_t s_acc = acc; int s_bits = bits; int64_t s_pos = pos_in;
+    bool full = false;
+
+    if (take(1)) {  // literal
+      if (refill(literal)) {
+        last_was_flush = false;
+        uint8_t b = (uint8_t)take(literal);
+        if (o >= out_cap) full = true;
+        else {
+          out[o++] = b;
+          ring[pos] = b; if (++pos == W) pos = 0;
+          continue;
+        }
+      }
+    } else {
+      int sym = read_sym();
+      if (bad) return -3;
+      if (sym == FLUSH_SYM) {
+        acc = 0; bits = 0;  // discard padding to the byte boundary
+        if (more && last_was_flush) {  // double-FLUSH dictionary reset
+          init_dictionary(ring.data(), W, extended ? literal : 8);
+          pos = 0;
+        }
+        last_was_flush = true;
+        continue;
+      }
+      if (sym >= 0) {
+        if (extended && sym > 11) {
+          int s2 = read_sym();
+          if (bad) return -3;
+          if (s2 >= 0) {
+            if (sym == RLE_SYM) {
+              if (refill(RLE_TRAIL)) {
+                last_was_flush = false;
+                int count = (s2 << RLE_TRAIL) + (int)take(RLE_TRAIL) + 2;
+                if (o + count > out_cap) full = true;
+                else {
+                  uint8_t b = ring[pos == 0 ? W - 1 : pos - 1];
+                  std::memset(out + o, b, (size_t)count); o += count;
+                  int wr = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+                  if (wr > W - pos) wr = W - pos;
+                  for (int i = 0; i < wr; i++) { ring[pos] = b; if (++pos == W) pos = 0; }
+                  continue;
+                }
+              }
+            } else {  // extended match
+              if (refill(EXT_TRAIL + window)) {
+                last_was_flush = false;
+                int size = (s2 << EXT_TRAIL) + (int)take(EXT_TRAIL) + minp + 12;
+                int index = (int)take(window);
+                if (o + size > out_cap) full = true;
+                else {
+                  for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) % W];
+                  int wr = size < (W - pos) ? size : (W - pos);
+                  std::memcpy(&ring[pos], out + o, (size_t)wr);
+                  pos += wr; if (pos == W) pos = 0;
+                  o += size;
+                  continue;
+                }
+              }
+            }
+          }
+        } else {  // basic match
+          if (refill(window)) {
+            last_was_flush = false;
+            int size = sym + minp;
+            int index = (int)take(window);
+            if (o + size > out_cap) full = true;
+            else {
+              for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) % W];
+              for (int i = 0; i < size; i++) { ring[pos] = out[o + i]; if (++pos == W) pos = 0; }
+              o += size;
+              continue;
+            }
+          }
+        }
+      }
+    }
+    // partial token (eof) or output full: roll back to the token start
+    acc = s_acc; bits = s_bits; pos_in = s_pos;
+    *out_len = o;
+    return full ? 1 : 0;
+  }
+  *out_len = o;
+  return 0;
+}
+
+}  // extern "C"

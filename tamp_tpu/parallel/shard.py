@@ -1,0 +1,182 @@
+"""Sharded (data-parallel) Tamp compression over a JAX device mesh.
+
+Container format (``TTPU``): independent Tamp streams, one per shard, with a
+small host-side frame recording shard boundaries (the Tamp spec delegates
+framing to the container layer).  Any single shard is a spec-conforming Tamp
+stream decodable by any Tamp implementation.
+
+    magic   b"TTPU"
+    u8      container version (1)
+    u8      reserved (0)
+    u32le   shard count
+    u64le   raw (uncompressed) size
+    u32le * shard compressed sizes
+    bytes   concatenated Tamp streams
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "make_mesh",
+    "sharded_search_step",
+    "compress_sharded",
+    "decompress_sharded",
+    "DEFAULT_SHARD_SIZE",
+]
+
+MAGIC = b"TTPU"
+DEFAULT_SHARD_SIZE = 1 << 20
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp"):
+    """A 1-D device mesh for data-parallel stream compression."""
+    import jax
+    from jax.sharding import Mesh
+
+    if n_devices is not None:
+        # Pre-provision virtual CPU devices so sharding logic can always be
+        # exercised even on a 1-chip (or 0-chip) host; must happen before the
+        # backend initializes, hence before the first jax.devices() call.
+        try:
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except Exception:
+            pass  # backend already initialized (e.g. under tests' 8-dev CPU)
+    devs = jax.devices()
+    if n_devices is not None and n_devices > len(devs):
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: int):
+    """One data-parallel device step: per-shard match search + cost estimate.
+
+    ``data`` is (n_shards, shard_len) uint8 with n_shards divisible by the
+    mesh size.  Returns per-shard match tables (sharded over the mesh) and a
+    replicated ``psum`` estimate of total compressed bits — the device-side
+    portion of the encode pipeline, with real dp shardings and a collective.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..constants import HUFFMAN_LENGTHS, compute_min_pattern_size
+    from ..dictionary import dictionary_array
+    from ..ops.match_jax import LMAX, chunk_kernel
+
+    S, L = data.shape
+    W = 1 << window_bits
+    minp = compute_min_pattern_size(window_bits, literal_bits)
+    extra = 3 * LMAX + 2
+    dict_arr = dictionary_array(W, literal=literal_bits)
+
+    # Host-side model history per shard (C = dict || data, sentinel-padded).
+    C = np.full((S, W + L + extra), -1, dtype=np.int16)
+    C[:, :W] = dict_arr
+    C[:, W : W + L] = data
+    rows = np.full((S, L + extra), 0x1FF, dtype=np.int16)
+    rows[:, :L] = data
+
+    axis = mesh.axis_names[0]
+    match_bits = 2 + window_bits  # cheapest match token (huffman "0" + offset)
+
+    def per_shard(C_row, d_row):
+        _len15, _idx15, len16, idx16 = chunk_kernel(
+            C_row, d_row, 0, window_bits, L, False
+        )
+        # Density-based compressed-size estimate: each position contributes
+        # the cheaper of a literal or its share of a cheapest-rate match.
+        lit_cost = jnp.float32(1 + literal_bits)
+        mlen = jnp.maximum(len16, 1).astype(jnp.float32)
+        mcost = jnp.where(len16 >= minp, jnp.float32(match_bits) / mlen, lit_cost)
+        est = jnp.sum(jnp.minimum(mcost, lit_cost)) + 8.0  # + header byte
+        return len16, idx16, est
+
+    def step(C_all, d_all):
+        len16, idx16, est = jax.vmap(per_shard)(C_all, d_all)
+        total = jax.lax.psum(jnp.sum(est), axis)
+        return len16, idx16, total
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    len16, idx16, total = jax.jit(fn)(jnp.asarray(C), jnp.asarray(rows))
+    return {"len16": len16, "idx16": idx16, "est_bits_total": total}
+
+
+def _encode_one_shard(args):
+    data, window, literal, extended, lazy = args
+    from ..engine.encode import encode_v1
+
+    if extended:
+        from ..engine.encode_extended import encode_extended
+
+        return encode_extended(data, window=window, literal=literal, lazy_matching=lazy)
+    return encode_v1(data, window=window, literal=literal, lazy_matching=lazy)
+
+
+def compress_sharded(
+    data: bytes,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    extended: bool = True,
+    lazy_matching: bool = False,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    workers: int | None = None,
+) -> bytes:
+    """Compress ``data`` as a TTPU container of independent Tamp streams.
+
+    Shards are encoded through the vectorized engine (device search + host
+    commit); host commits run in a thread pool since the NumPy/C++ commit
+    releases the GIL for its array phases.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = bytes(data)
+    shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
+    jobs = [(s, window, literal, extended, lazy_matching) for s in shards]
+    if workers and len(shards) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            blobs = list(ex.map(_encode_one_shard, jobs))
+    else:
+        blobs = [_encode_one_shard(j) for j in jobs]
+
+    head = MAGIC + struct.pack("<BBIQ", 1, 0, len(blobs), len(data))
+    sizes = struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
+    return head + sizes + b"".join(blobs)
+
+
+def decompress_sharded(blob: bytes) -> bytearray:
+    """Decode a TTPU container (shards decoded independently, ordered)."""
+    from ..decompressor import decompress
+
+    if blob[:4] != MAGIC:
+        raise ValueError("not a TTPU container")
+    ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
+    if ver != 1:
+        raise ValueError(f"unsupported TTPU version {ver}")
+    off = 4 + 14
+    sizes = struct.unpack_from(f"<{n}I", blob, off)
+    off += 4 * n
+    out = bytearray()
+    for sz in sizes:
+        out += decompress(blob[off : off + sz])
+        off += sz
+    if len(out) != raw_size:
+        raise ValueError("container raw-size mismatch")
+    return out
