@@ -119,7 +119,16 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
 
 
 def _encode_one_shard(args):
-    data, window, literal, extended, lazy = args
+    data, window, literal, extended, lazy, engine = args
+    if engine == "native":
+        from .. import _native
+
+        if _native.available():
+            return _native.native_compress(
+                data, window=window, literal=literal, extended=extended,
+                lazy_matching=lazy,
+            )
+        engine = "tables"
     from ..engine.encode import encode_v1
 
     if extended:
@@ -138,18 +147,20 @@ def compress_sharded(
     lazy_matching: bool = False,
     shard_size: int = DEFAULT_SHARD_SIZE,
     workers: int | None = None,
+    engine: str = "tables",
 ) -> bytes:
     """Compress ``data`` as a TTPU container of independent Tamp streams.
 
-    Shards are encoded through the vectorized engine (device search + host
-    commit); host commits run in a thread pool since the NumPy/C++ commit
-    releases the GIL for its array phases.
+    ``engine="tables"`` routes each shard through the vectorized engine
+    (device search + host commit); ``engine="native"`` uses the standalone
+    C++ codec per shard.  Host work runs in a thread pool — the native codec
+    releases the GIL for the whole call via ctypes.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     data = bytes(data)
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
-    jobs = [(s, window, literal, extended, lazy_matching) for s in shards]
+    jobs = [(s, window, literal, extended, lazy_matching, engine) for s in shards]
     if workers and len(shards) > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             blobs = list(ex.map(_encode_one_shard, jobs))
