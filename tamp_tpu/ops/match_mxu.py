@@ -43,6 +43,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..engine.search_np import LMAX, MatchTables
+from ._jaxinit import ensure_jax_cache
+
+ensure_jax_cache()
 
 __all__ = ["match_tables_mxu", "mxu_chunk"]
 

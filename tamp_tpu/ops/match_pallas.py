@@ -45,10 +45,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..engine.search_np import LMAX, MatchTables
+from ._jaxinit import ensure_jax_cache
+
+ensure_jax_cache()
 
 __all__ = ["match_tables_pallas", "pallas_available"]
 
 _F = jnp.float32
+
+# Megablock grid sizes (chunks per device call); see match_tables_pallas.
+_GRID_TIERS = (64, 1024, 8192)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,6 +62,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _runs16(E, shift):
+    """Leading-ones runs via log-doubling (4 shifted selects, not 15 ANDs).
+
+    f32 throughout: Mosaic's rotate only handles 32-bit vectors, and the MXU
+    hands us f32 anyway; run values <= 16 are exact."""
     L = E
     for k in (1, 2, 4, 8):
         L = L + jnp.where(L == k, shift(L, k), 0.0)
@@ -80,7 +90,7 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
     oh_d = (d[:, :R] == sym).astype(jnp.bfloat16)     # (256, R)
     E = lax.dot_general(
         oh_s, oh_d, (((0,), (0,)), ((), ())), preferred_element_type=_F
-    )  # (Qs, R): E[q, r] = (seg[q] == d[r])
+    )  # (Qs, R) f32: E[q, r] = (seg[q] == d[r])
 
     def shift2(M, k):  # M[q+k, r+k]; wrap zones unread (padding margins)
         return pltpu.roll(pltpu.roll(M, Qs - k, 0), R - k, 1)
@@ -88,18 +98,20 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
     run16 = _runs16(E, shift2)
 
     # ---- ring geometry ------------------------------------------------
-    tau = ((t0 + lax.broadcasted_iota(jnp.int32, (1, Rd), 1)) % W).astype(_F)
-    xq = ((t0 + lax.broadcasted_iota(jnp.int32, (Qs, 1), 0)) % W).astype(_F)
-    capq = W - xq                                     # (Qs, 1)
+    tau = (t0 + lax.broadcasted_iota(jnp.int32, (1, Rd), 1)) % W
+    xq = (t0 + lax.broadcasted_iota(jnp.int32, (Qs, 1), 0)) % W
+    capq = W - xq                                     # (Qs, 1) int32
     qi = lax.broadcasted_iota(jnp.int32, (Qs, R), 0)
     ri = lax.broadcasted_iota(jnp.int32, (Qs, R), 1)
     mask_big = (qi >= ri) & (qi - ri <= W - LMAX)
-    slot_term = capq - 1.0                            # = W - 1 - x(q)
+    # Integer packed score: len * W + (W - 1 - x); values < 2^20.
+    slot_term = (capq - 1).astype(_F)                 # = W - 1 - x(q)
+    capf = jnp.minimum(capq, LMAX).astype(_F)         # run cap is <= 16
 
     def big_score(u, cap_pat):
-        u = jnp.minimum(jnp.minimum(u, capq), cap_pat)
+        u = jnp.minimum(jnp.minimum(u, capf), float(cap_pat))
         s = jnp.where(mask_big, u * W + slot_term, -1.0)
-        return jnp.max(s, axis=0, keepdims=True)      # (1, R)
+        return jnp.max(s, axis=0, keepdims=True).astype(jnp.int32)  # (1, R)
 
     # ---- 16-diagonal side tables via strided rolls -------------------
     # ebit[u, r] = (d[r] == seg[r + W - 1 - u])  (glue diagonal dd = u+1)
@@ -127,35 +139,36 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
     urow = lax.broadcasted_iota(jnp.int32, (LMAX, 1), 0)
 
     def mini_score(v, contin, delta, row_ok, cap_pat):
+        v = v.astype(jnp.int32)
         tau_ge = tau >= delta
         x_cross = tau - delta
         x_old = x_cross + W
-        glued = delta + jnp.minimum(contin, cap_pat - delta)
+        glued = delta + jnp.minimum(contin.astype(jnp.int32), cap_pat - delta)
         val_cross = jnp.minimum(jnp.where(v >= delta, glued, v), W - x_cross)
         val_old = jnp.minimum(v, W - x_old)
         val = jnp.minimum(jnp.where(tau_ge, val_cross, val_old), cap_pat)
         x = jnp.where(tau_ge, x_cross, x_old)
-        s = jnp.where(row_ok, val * W + (W - 1.0 - x), -1.0)
-        return jnp.max(s, axis=0, keepdims=True)      # (1, Rd)
+        s = jnp.where(row_ok, val * W + (W - 1 - x), -1)
+        return jnp.max(s, axis=0, keepdims=True)      # (1, Rd) int32
 
-    def finish(s):  # (1, T) packed score -> ((1, T) len, (1, T) slot)
-        ln = jnp.floor(s / W)
-        return ln.astype(jnp.int32), (W - 1.0 - (s - ln * W)).astype(jnp.int32)
+    def finish(s):  # (1, T) packed int32 score -> ((1, T) len, (1, T) slot)
+        ln = s // W
+        return ln, W - 1 - (s - ln * W)
 
     out = {}
     # Main: row u is glue diagonal delta = u + 1 (u = 15 is not a glue case).
-    delta_m = (urow + 1).astype(_F)
+    delta_m = urow + 1
     ok_m = urow < LMAX - 1
     if "15" in tables:
         s = jnp.maximum(
-            big_score(run16, 15.0)[:, :T],
-            mini_score(v16, gv, delta_m, ok_m, 15.0)[:, :T],
+            big_score(run16, 15)[:, :T],
+            mini_score(v16, gv, delta_m, ok_m, 15)[:, :T],
         )
         out["15"] = finish(s)
     if "16" in tables:
         s = jnp.maximum(
-            big_score(run16, 16.0)[:, :T],
-            mini_score(v16, gv, delta_m, ok_m, 16.0)[:, :T],
+            big_score(run16, 16)[:, :T],
+            mini_score(v16, gv, delta_m, ok_m, 16)[:, :T],
         )
         out["16"] = finish(s)
     if "probe" in tables:
@@ -163,11 +176,11 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
         # delta = u with continuation gd[u+1] = gv row u (row 0 masked).
         run_p = pltpu.roll(run16, R - 1, 1)
         v_p = pltpu.roll(v16, Rd - 1, 1)
-        delta_p = urow.astype(_F)
+        delta_p = urow
         ok_p = urow >= 1
         s = jnp.maximum(
-            big_score(run_p, 15.0)[:, :T],
-            mini_score(v_p, gv, delta_p, ok_p, 15.0)[:, :T],
+            big_score(run_p, 15)[:, :T],
+            mini_score(v_p, gv, delta_p, ok_p, 15)[:, :T],
         )
         out["probe"] = finish(s)
     return out
@@ -177,54 +190,79 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
     jax.jit,
     static_argnames=("window_bits", "T", "tables", "n_chunks", "interpret"),
 )
-def _search_pallas(C2, d2, window_bits, T, tables, n_chunks, interpret):
+def _search_pallas(C2, d2, base, window_bits, T, tables, n_chunks, interpret):
+    """One megablock: ``n_chunks`` fixed-size chunks starting at absolute
+    stream offset ``base`` (a traced scalar — ring slots depend on it, so a
+    handful of (window, T, tables, n_chunks) programs serve any input)."""
     W = 1 << window_bits
     Qseg = _round_up(T + W + 2 * LMAX, 128)
     Rd = _round_up(T + 2 * LMAX, 128)
     n_out = 2 * len(tables)
 
-    def kernel(C_ref, d_ref, *out_refs):
+    def kernel(base_ref, C_ref, d_ref, *rest):
+        out_refs = rest[:n_out]
+        seg_buf, d_buf, res_buf, in_sem, out_sem = rest[n_out:]
         i = pl.program_id(0)
         t0 = i * T
+        slot = lax.rem(i, 2)
+        nxt = 1 - slot
 
-        def body(seg_v, d_v, sem, out_sem, *res_v):
-            cp1 = pltpu.make_async_copy(
-                C_ref.at[:, pl.ds(t0, Qseg)], seg_v, sem.at[0]
-            )
-            cp2 = pltpu.make_async_copy(
-                d_ref.at[:, pl.ds(t0, Rd)], d_v, sem.at[1]
-            )
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
-            res = _kernel_body(seg_v[:, :], d_v[:, :], t0, window_bits, T, tables)
-            k = 0
-            for key in ("15", "16", "probe"):
-                if key in res:
-                    ln, ix = res[key]
-                    res_v[k][:, :] = ln
-                    res_v[k + 1][:, :] = ix
-                    k += 2
-            copies = [
+        # Revolving input buffers: chunk i+1's DMA flies during i's compute.
+        def in_copies(s, idx):
+            t = idx * T
+            return (
                 pltpu.make_async_copy(
-                    res_v[k], out_refs[k].at[:, pl.ds(t0, T)], out_sem.at[k]
-                )
-                for k in range(n_out)
-            ]
-            for cp in copies:
-                cp.start()
-            for cp in copies:
-                cp.wait()
+                    C_ref.at[:, pl.ds(t, Qseg)], seg_buf.at[s], in_sem.at[s, 0]
+                ),
+                pltpu.make_async_copy(
+                    d_ref.at[:, pl.ds(t, Rd)], d_buf.at[s], in_sem.at[s, 1]
+                ),
+            )
 
-        pl.run_scoped(
-            body,
-            pltpu.VMEM((1, Qseg), jnp.int32),
-            pltpu.VMEM((1, Rd), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((n_out,)),
-            *[pltpu.VMEM((1, T), jnp.int32) for _ in range(n_out)],
+        @pl.when(i == 0)
+        def _():
+            for cp in in_copies(slot, i):
+                cp.start()
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            for cp in in_copies(nxt, i + 1):
+                cp.start()
+
+        for cp in in_copies(slot, i):
+            cp.wait()
+
+        res = _kernel_body(
+            seg_buf[slot], d_buf[slot], base_ref[0, 0] + t0, window_bits, T, tables
         )
+
+        # Previous step's output DMAs must land before reusing the buffers.
+        @pl.when(i > 0)
+        def _():
+            for k in range(n_out):
+                pltpu.make_async_copy(
+                    res_buf.at[k], out_refs[k].at[:, pl.ds((i - 1) * T, T)],
+                    out_sem.at[k],
+                ).wait()
+
+        k = 0
+        for key in ("15", "16", "probe"):
+            if key in res:
+                ln, ix = res[key]
+                res_buf[k] = ln
+                res_buf[k + 1] = ix
+                k += 2
+        for k in range(n_out):
+            pltpu.make_async_copy(
+                res_buf.at[k], out_refs[k].at[:, pl.ds(t0, T)], out_sem.at[k]
+            ).start()
+
+        @pl.when(i == n_chunks - 1)
+        def _():
+            for k in range(n_out):
+                pltpu.make_async_copy(
+                    res_buf.at[k], out_refs[k].at[:, pl.ds(t0, T)], out_sem.at[k]
+                ).wait()
 
     outs = pl.pallas_call(
         kernel,
@@ -233,12 +271,20 @@ def _search_pallas(C2, d2, window_bits, T, tables, n_chunks, interpret):
             jax.ShapeDtypeStruct((1, n_chunks * T), jnp.int32) for _ in range(n_out)
         ],
         in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)],
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, Qseg), jnp.int32),
+            pltpu.VMEM((2, 1, Rd), jnp.int32),
+            pltpu.VMEM((n_out, 1, T), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((n_out,)),
+        ],
         interpret=interpret,
-    )(C2, d2)
+    )(base.reshape(1, 1).astype(jnp.int32), C2, d2)
     return outs
 
 
@@ -283,9 +329,17 @@ def match_tables_pallas(
 
     T = chunk_rows or 256
     assert T % 128 == 0, "chunk_rows must be lane-aligned"
-    n_chunks = -(-N // T)
-    Npad = n_chunks * T
     Qseg = _round_up(T + W + 2 * LMAX, 128)
+
+    # Fixed-grid megablocks: the kernel compiles per (window, T, tables,
+    # tier) only — compiles take minutes on the remote service, so the grid
+    # size must not depend on the input length.  The absolute stream offset
+    # is a traced scalar (ring geometry needs it).
+    n_chunks_total = -(-N // T)
+    NC = next((t for t in _GRID_TIERS if n_chunks_total <= t), _GRID_TIERS[-1])
+    B = NC * T
+    n_blocks = -(-n_chunks_total // NC)
+    Npad = n_blocks * B
 
     C = np.full(W + Npad + Qseg, -1, dtype=np.int32)
     C[:W] = dictionary
@@ -293,16 +347,35 @@ def match_tables_pallas(
     data_rows = np.full(Npad + Qseg, 0x1FF, dtype=np.int32)
     data_rows[:N] = data
 
-    outs = _search_pallas(
-        jnp.asarray(C[None, :]),
-        jnp.asarray(data_rows[None, :]),
-        window_bits,
-        T,
-        tables,
-        n_chunks,
-        interpret,
-    )
-    outs = [np.asarray(o).reshape(-1)[:N] for o in outs]
+    parts = [[] for _ in range(2 * len(tables))]
+    for m in range(n_blocks):
+        off = m * B
+        C_sl = C[off : off + B + Qseg]
+        d_sl = data_rows[off : off + B + Qseg]
+        # The remote TPU compile service occasionally 500s; retry transient
+        # failures (the jit cache retriggers compilation).
+        for attempt in range(3):
+            try:
+                outs = _search_pallas(
+                    jnp.asarray(C_sl[None, :]),
+                    jnp.asarray(d_sl[None, :]),
+                    jnp.int32(off),
+                    window_bits,
+                    T,
+                    tables,
+                    NC,
+                    interpret,
+                )
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError and friends
+                if attempt == 2 or "remote_compile" not in str(e):
+                    raise
+                import time
+
+                time.sleep(1.0 + attempt)
+        for k, o in enumerate(outs):
+            parts[k].append(np.asarray(o).reshape(-1))
+    outs = [np.concatenate(p)[:N] if len(p) > 1 else p[0][:N] for p in parts]
 
     res = {}
     k = 0

@@ -120,6 +120,15 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
 
 def _encode_one_shard(args):
     data, window, literal, extended, lazy, engine = args
+    if engine == "device":
+        from ..engine.pipeline import device_pipeline_available, encode_device
+
+        if device_pipeline_available():
+            return encode_device(
+                data, window=window, literal=literal, extended=extended,
+                lazy_matching=lazy,
+            )
+        engine = "native"
     if engine == "native":
         from .. import _native
 
