@@ -93,45 +93,32 @@ struct BitWriter {
   }
 };
 
-// ---- exact linear-buffer search (reference growing-prefix semantics) ------
-// Lowest index of the longest prefix of target present in ring[0..W).
-inline int find_pattern(const uint8_t* ring, int W, const uint8_t* pat,
-                        int plen, int from) {
-  const uint8_t first = pat[0];
-  const int last = W - plen;
-  for (int i = from; i <= last; i++) {
-    const uint8_t* hit =
-        (const uint8_t*)std::memchr(ring + i, first, (size_t)(last - i + 1));
-    if (!hit) return -1;
-    i = (int)(hit - ring);
-    if (plen == 1 || std::memcmp(ring + i + 1, pat + 1, (size_t)(plen - 1)) == 0)
-      return i;
+// ---- exact linear-buffer search ------------------------------------------
+// Semantics: lowest ring index among the maximal-length matches of a prefix
+// of target, equal to the reference's growing-prefix search
+// (tamp/compressor.py:432-447) but computed in one pass: memchr proposes
+// first-byte candidates, each extended with word-at-a-time XOR compare
+// (the same idea as the reference's desktop SWAR finder, re-derived).
+inline int match_extent(const uint8_t* a, const uint8_t* b, int limit) {
+  int k = 0;
+  while (limit - k >= 8) {
+    uint64_t wa, wb;
+    std::memcpy(&wa, a + k, 8);
+    std::memcpy(&wb, b + k, 8);
+    uint64_t x = wa ^ wb;
+    if (x) return k + (__builtin_ctzll(x) >> 3);
+    k += 8;
   }
-  return -1;
+  while (k < limit && a[k] == b[k]) k++;
+  return k;
 }
 
 struct SearchResult { int idx; int size; };
 
-SearchResult ring_search(const uint8_t* ring, int W, const uint8_t* target,
-                         int tlen, int cap, int minp, int start) {
-  int limit = tlen < cap ? tlen : cap;
-  if (limit < minp) return {start, 0};
-  int size = minp;
-  int idx = find_pattern(ring, W, target, size, start);
-  if (idx < 0) return {start, size - 1};
-  while (size < limit) {
-    int nxt = find_pattern(ring, W, target, size + 1, idx);
-    if (nxt < 0) break;
-    idx = nxt;
-    size++;
-  }
-  return {idx, size};
-}
-
 // ---- committer -------------------------------------------------------------
 struct Committer {
   // config
-  int W, wbits, literal, minp, maxpat;
+  int W, wmask, wbits, literal, minp, maxpat;
   bool extended, lazy;
   // Split extended matches at the ring end instead of truncating the window
   // write: costs ~one extra token per ring cycle but keeps the true window
@@ -146,6 +133,16 @@ struct Committer {
   // ring
   std::vector<uint8_t> ring; int pos = 0;
   std::vector<uint8_t> scratch;  // reusable copy buffer (avoids per-token alloc)
+  // Exact 2-byte chains over the linear ring buffer: chead[pair] -> newest
+  // absolute write position whose linear pair equals `pair`; cprev[slot]
+  // links to the previous occurrence.  Entries older than wpos - W have
+  // expired (their slot was overwritten), which also terminates walks.
+  // Pairs starting at slot W-1 are never inserted (the linear buffer ends
+  // there; matches cannot wrap), and the single pair that crosses the
+  // write head (slot tau-1: newest byte followed by the oldest) is checked
+  // explicitly in chain_search.
+  std::vector<int64_t> chead, cprev;
+  int64_t wpos = 0;
   // Run plan (planned-RLE mode): long input runs (>=9) are RLE'd at fixed
   // positions so their window-write truncations are part of the model the
   // tables were computed against (the "C-hat" history).  khat[t] = number of
@@ -194,22 +191,81 @@ struct Committer {
     return ring[pos == 0 ? W - 1 : pos - 1];
   }
   inline void ring_push(uint8_t b) {
+    if (pos != 0) {  // index the pair starting at the previous slot
+      int key = ((int)ring[pos - 1] << 8) | b;
+      cprev[pos - 1] = chead[key];
+      chead[key] = wpos - 1;
+    }
     ring[pos] = b;
+    wpos++;
     if (++pos == W) pos = 0;
+  }
+
+  void seed_chains() {  // after the dictionary fills ring[0..W)
+    chead.assign(65536, -1);
+    cprev.assign((size_t)W, -1);
+    for (int s = 0; s + 1 < W; s++) {
+      int key = ((int)ring[s] << 8) | ring[s + 1];
+      cprev[s] = chead[key];
+      chead[key] = s;
+    }
+    wpos = W;
+  }
+
+  // Exact window search via the chains: longest match of a prefix of
+  // target, lowest ring slot among ties, slots >= start only — identical
+  // results to a left-to-right scan of the linear buffer.
+  SearchResult chain_search(const uint8_t* target, int tlen, int cap, int start) {
+    int limit = tlen < cap ? tlen : cap;
+    if (limit < minp) return {start, 0};
+    int64_t lo = wpos - W;
+    int best = minp - 1, best_slot = -1;
+
+    auto consider = [&](int x) {
+      int room = W - x;
+      bool maybe_tie = best_slot >= 0 && x < best_slot;
+      if (!maybe_tie) {
+        if (best >= limit || room <= best) return;
+        if (ring[x + best] != target[best]) return;  // cannot beat best
+      } else if (room < best) {
+        return;  // cannot even tie
+      }
+      int mx = limit < room ? limit : room;
+      int len = 2 + match_extent(ring.data() + x + 2, target + 2, mx - 2);
+      if (len > best) {
+        best = len;
+        best_slot = x;
+      } else if (len == best && maybe_tie) {
+        best_slot = x;
+      }
+    };
+
+    int key = ((int)target[0] << 8) | target[1];
+    for (int64_t c = chead[key]; c >= lo; c = cprev[c & wmask]) {
+      int x = (int)(c & wmask);
+      if (x >= start) consider(x);
+    }
+    // The head-crossing pair (never chain-indexed).
+    int hx = pos - 1;
+    if (hx >= 0 && hx >= start && ring[hx] == target[0] &&
+        ring[hx + 1] == target[1])
+      consider(hx);
+
+    if (best_slot < 0) return {start, minp - 1};
+    return {best_slot, best};
   }
   // snapshot-read size bytes at index (mod wrap), then append at pos (wrap)
   void ring_copy_wrap(int index, int size) {
     uint8_t tmp[16];  // cached lazy matches are <= 15 bytes
-    for (int i = 0; i < size; i++) tmp[i] = ring[(index + i) % W];
+    for (int i = 0; i < size; i++) tmp[i] = ring[(index + i) & wmask];
     for (int i = 0; i < size; i++) ring_push(tmp[i]);
   }
   // extended-match window write: no wrap past ring end
   void ring_selfcopy_ext(int index, int size, int64_t src_input_start) {
     int wr = size < (W - pos) ? size : (W - pos);
     scratch.resize((size_t)wr);
-    for (int i = 0; i < wr; i++) scratch[i] = ring[(index + i) % W];
-    std::memcpy(&ring[pos], scratch.data(), (size_t)wr);
-    pos += wr; if (pos == W) pos = 0;
+    for (int i = 0; i < wr; i++) scratch[i] = ring[(index + i) & wmask];
+    for (int i = 0; i < wr; i++) ring_push(scratch[i]);
     if (wr < size) record_deletion(chat(src_input_start) + wr, size - wr);
   }
 
@@ -219,7 +275,7 @@ struct Committer {
   // if an exact fallback is needed.
   int validate(int64_t tt, int x_model, int len) {
     int64_t ct = chat(tt);
-    int tau = (int)(ct % W);
+    int tau = (int)(ct & wmask);
     int j = x_model - tau; if (j < 0) j += W;
     if (j + len > W) return -1;          // wrap-glued candidate
     int64_t p_src = ct + j - W;          // may be negative: dictionary bytes
@@ -229,7 +285,7 @@ struct Committer {
     int64_t k_s = p_src - d_lo;
     int64_t k_now = t_written();
     if (k_s < k_now - W) return -1;      // expired from the true window
-    int slot = (int)(((k_s % W) + W) % W);
+    int slot = (int)(k_s & wmask);
     if (slot + len > W) return -1;       // true ring-linearity
     return slot;
   }
@@ -252,10 +308,10 @@ struct Committer {
       int slot = validate(t, x, len);
       if (slot >= 0) return {slot, len};
       int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
-      return ring_search(ring.data(), W, data + t, tl, cap, minp, 0);
+      return chain_search(data + t, tl, cap, 0);
     }
     int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
-    return ring_search(ring.data(), W, data + t, tl, cap, minp, 0);
+    return chain_search(data + t, tl, cap, 0);
   }
 
   SearchResult probe_search(int64_t rem) {  // target data[t+1:], current ring
@@ -270,10 +326,10 @@ struct Committer {
         if (slot >= 0) return {slot, len};
       }
       int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
-      return ring_search(ring.data(), W, data + t + 1, tl, cap, minp, 0);
+      return chain_search(data + t + 1, tl, cap, 0);
     }
     int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
-    return ring_search(ring.data(), W, data + t + 1, tl, cap, minp, 0);
+    return chain_search(data + t + 1, tl, cap, 0);
   }
 
   bool emit_literal(uint8_t b) {
@@ -382,14 +438,13 @@ struct Committer {
         if (plan && t >= B) { emit_ext_match(); return; }
         if (ext_pos + ext_count >= W) { emit_ext_match(); return; }
         // target = ring[ext_pos..+count] ++ next byte; search from ext_pos
-        for (int i = 0; i < ext_count; i++) target[i] = ring[(ext_pos + i) % W];
+        for (int i = 0; i < ext_count; i++) target[i] = ring[(ext_pos + i) & wmask];
         target[ext_count] = data[t];
         // Reference semantics relocate only to sources at >= ext_pos
         // (compressor.py:304); in planned (non-parity) mode searching the
         // whole window finds strictly more growth opportunities.
-        SearchResult r = ring_search(ring.data(), W, target,
-                                     ext_count + 1, maxpat, minp,
-                                     plan ? 0 : ext_pos);
+        SearchResult r = chain_search(target, ext_count + 1, maxpat,
+                                      plan ? 0 : ext_pos);
         if (r.size > ext_count) {
           t++;
           ext_count = r.size; ext_pos = r.idx;
@@ -524,7 +579,7 @@ int tampn_compress(const uint8_t* data, int64_t n,
                    const uint32_t* khat, const int64_t* plan, int n_plan,
                    uint8_t* out, int64_t out_cap, int64_t* out_len) {
   Committer c;
-  c.W = 1 << window; c.wbits = window; c.literal = literal;
+  c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
   c.minp = min_pattern_size(window, literal);
   c.maxpat = extended ? c.minp + 131 : c.minp + 13;
   c.extended = extended != 0; c.lazy = lazy != 0;
@@ -536,6 +591,7 @@ int tampn_compress(const uint8_t* data, int64_t n,
   c.ring.resize(c.W);
   if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
   else init_dictionary(c.ring.data(), c.W, extended ? literal : 8);
+  c.seed_chains();
 
   BitWriter bw(out, out_cap);
   if (write_header) {
@@ -567,6 +623,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     pos_in = 2;
   }
   int W = 1 << window;
+  const int wmask = W - 1;
   if (custom && (!dict || dict_len < W)) return -3;
   int minp = min_pattern_size(window, literal);
 
@@ -669,7 +726,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
                 int index = (int)take(window);
                 if (o + size > out_cap) full = true;
                 else {
-                  for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) % W];
+                  for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) & wmask];
                   int wr = size < (W - pos) ? size : (W - pos);
                   std::memcpy(&ring[pos], out + o, (size_t)wr);
                   pos += wr; if (pos == W) pos = 0;
@@ -686,7 +743,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
             int index = (int)take(window);
             if (o + size > out_cap) full = true;
             else {
-              for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) % W];
+              for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) & wmask];
               for (int i = 0; i < size; i++) { ring[pos] = out[o + i]; if (++pos == W) pos = 0; }
               o += size;
               continue;
