@@ -650,9 +650,32 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     bits -= nb;
     return v;
   };
-  // Huffman symbol, bit by bit (max 8 code bits); key = (1 << len) | code.
+  // Huffman decode: 256-entry peek table (token codes are <= 8 bits);
+  // bit-by-bit fallback only near end-of-input.
+  static uint8_t SYM_TAB[256], LEN_TAB[256];
+  static bool tab_init = [] {
+    std::memset(SYM_TAB, 0xFF, 256);
+    for (int sym = 0; sym < 15; sym++) {
+      int nb = HUFF_BITS[sym] - 1;
+      uint32_t code = HUFF_CODE[sym];
+      for (uint32_t j = 0; j < (1u << (8 - nb)); j++) {
+        SYM_TAB[(code << (8 - nb)) | j] = (uint8_t)sym;
+        LEN_TAB[(code << (8 - nb)) | j] = (uint8_t)nb;
+      }
+    }
+    return true;
+  }();
+  (void)tab_init;
   auto read_sym = [&]() -> int {
-    uint32_t key = 1;
+    while (bits < 8 && pos_in < n) { acc = (acc << 8) | in[pos_in++]; bits += 8; }
+    if (bits >= 8) {
+      uint32_t peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+      int sym = SYM_TAB[peek];
+      if (sym == 0xFF) { bad = true; return -1; }
+      bits -= LEN_TAB[peek];
+      return sym;
+    }
+    uint32_t key = 1;  // end-of-input tail: bit-by-bit
     for (int i = 0; i < 8; i++) {
       if (!refill(1)) return -1;
       key = (key << 1) | take(1);
@@ -669,6 +692,20 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     }
     bad = true;
     return -1;
+  };
+  auto copy_from_ring = [&](int index, int size) {  // ring -> out at o
+    if (index + size <= W) std::memcpy(out + o, ring.data() + index, (size_t)size);
+    else for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) & wmask];
+  };
+  auto window_write = [&](int size) {  // out[o..o+size) -> ring at pos (wraps)
+    int wr1 = size < (W - pos) ? size : (W - pos);
+    std::memcpy(&ring[pos], out + o, (size_t)wr1);
+    if (wr1 < size) {
+      std::memcpy(ring.data(), out + o + wr1, (size_t)(size - wr1));
+      pos = size - wr1;
+    } else {
+      pos += wr1; if (pos == W) pos = 0;
+    }
   };
 
   while (true) {
@@ -726,7 +763,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
                 int index = (int)take(window);
                 if (o + size > out_cap) full = true;
                 else {
-                  for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) & wmask];
+                  copy_from_ring(index, size);
                   int wr = size < (W - pos) ? size : (W - pos);
                   std::memcpy(&ring[pos], out + o, (size_t)wr);
                   pos += wr; if (pos == W) pos = 0;
@@ -743,8 +780,8 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
             int index = (int)take(window);
             if (o + size > out_cap) full = true;
             else {
-              for (int i = 0; i < size; i++) out[o + i] = ring[(index + i) & wmask];
-              for (int i = 0; i < size; i++) { ring[pos] = out[o + i]; if (++pos == W) pos = 0; }
+              copy_from_ring(index, size);
+              window_write(size);
               o += size;
               continue;
             }
