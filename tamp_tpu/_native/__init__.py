@@ -198,4 +198,8 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
         if rc == 1:
             cap *= 4
             continue
+        if rc == -4:
+            from ..exceptions import OutOfBoundsError
+
+            raise OutOfBoundsError("window reference outside the window")
         raise ValueError(f"invalid tamp stream (native rc={rc})")

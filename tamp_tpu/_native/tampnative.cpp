@@ -761,6 +761,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
                 last_was_flush = false;
                 int size = (s2 << EXT_TRAIL) + (int)take(EXT_TRAIL) + minp + 12;
                 int index = (int)take(window);
+                if (index + size > W) return -4;  // OOB window reference
                 if (o + size > out_cap) full = true;
                 else {
                   copy_from_ring(index, size);
@@ -778,6 +779,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
             last_was_flush = false;
             int size = sym + minp;
             int index = (int)take(window);
+            if (index + size > W) return -4;  // OOB window reference
             if (o + size > out_cap) full = true;
             else {
               copy_from_ring(index, size);
