@@ -70,6 +70,24 @@ def _load():
         lib.tampn_compress.restype = cint
         lib.tampn_decompress.argtypes = [u8p, i64, u8p, i64, u8p, i64, i64p]
         lib.tampn_decompress.restype = cint
+
+        vp = ctypes.c_void_p
+        lib.tampn_comp_new.argtypes = [cint, cint, cint, cint, u8p, cint, cint]
+        lib.tampn_comp_new.restype = vp
+        lib.tampn_comp_free.argtypes = [vp]
+        lib.tampn_comp_write.argtypes = [vp, u8p, i64, u8p, i64, i64p]
+        lib.tampn_comp_write.restype = cint
+        lib.tampn_comp_flush.argtypes = [vp, cint, u8p, i64, i64p]
+        lib.tampn_comp_flush.restype = cint
+        lib.tampn_comp_reset_dictionary.argtypes = [vp, u8p, i64, i64p]
+        lib.tampn_comp_reset_dictionary.restype = cint
+        lib.tampn_dec_new.argtypes = [u8p, i64]
+        lib.tampn_dec_new.restype = vp
+        lib.tampn_dec_free.argtypes = [vp]
+        lib.tampn_dec_feed.argtypes = [vp, u8p, i64]
+        lib.tampn_dec_feed.restype = cint
+        lib.tampn_dec_read.argtypes = [vp, u8p, i64, i64p]
+        lib.tampn_dec_read.restype = cint
         _lib = lib
         return _lib
 

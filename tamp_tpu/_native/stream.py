@@ -1,0 +1,206 @@
+"""Native streaming codec classes.
+
+File-like incremental compression/decompression over the C++ engine — the
+native analogue of :class:`tamp_tpu.Compressor` / ``Decompressor`` (and of
+the reference's Cython bindings over its C stream machinery).  Output is
+byte-identical to the Python streaming codec (both match the reference
+encoder), so the two are interchangeable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io
+
+import numpy as np
+
+from ..constants import compute_min_pattern_size
+from ..exceptions import ExcessBitsError, OutOfBoundsError
+
+__all__ = ["NativeCompressor", "NativeDecompressor"]
+
+
+def _lib():
+    from . import _load, _load_error
+
+    lib = _load()
+    if lib is None:
+        from . import load_error
+
+        raise RuntimeError(f"native library unavailable: {load_error()}")
+    return lib
+
+
+def _u8(buf):
+    return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativeCompressor:
+    """Incremental Tamp compressor writing to a binary file object."""
+
+    def __init__(
+        self,
+        f,
+        *,
+        window: int = 10,
+        literal: int = 8,
+        dictionary=None,
+        dictionary_reset: bool = False,
+        lazy_matching: bool = False,
+        extended: bool = True,
+        append: bool = False,
+    ):
+        compute_min_pattern_size(window, literal)  # validates the config
+        if append and not dictionary_reset:
+            raise ValueError("append=True requires dictionary_reset=True")
+        if append and dictionary is not None:
+            raise ValueError("append=True cannot use a custom dictionary")
+        if isinstance(f, (bytes, bytearray, str)):
+            raise TypeError("expected a writable binary stream")
+        self.f = f
+        self.dictionary_reset = dictionary_reset
+        lib = _lib()
+        dict_arr = None
+        if dictionary is not None:
+            dict_arr = np.frombuffer(bytes(dictionary), dtype=np.uint8)
+            if dict_arr.shape[0] != (1 << window):
+                raise ValueError("Dictionary-window size mismatch.")
+        self._h = lib.tampn_comp_new(
+            window, literal, int(extended), int(lazy_matching),
+            None if dict_arr is None else _u8(dict_arr),
+            int(dictionary_reset), int(append),
+        )
+        self._lib = lib
+        self._out = np.empty(1 << 16, dtype=np.uint8)
+
+    def _call(self, fn, *head) -> int:
+        written = 0
+        while True:
+            n = ctypes.c_int64(0)
+            rc = fn(self._h, *head, _u8(self._out), self._out.shape[0],
+                    ctypes.byref(n))
+            if n.value:
+                self.f.write(self._out[: n.value].tobytes())
+                written += n.value
+            if rc == 0:
+                return written
+            if rc == 1:
+                continue  # output buffer filled; drain again
+            if rc == -2:
+                raise ExcessBitsError
+            raise RuntimeError(f"native stream error rc={rc}")
+
+    def write(self, data) -> int:
+        data = bytes(data)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n = arr.shape[0]
+        return self._call(
+            self._lib.tampn_comp_write, _u8(arr) if n else None,
+            ctypes.c_int64(n),
+        )
+
+    def flush(self, write_token: bool = True) -> int:
+        return self._call(self._lib.tampn_comp_flush, int(write_token))
+
+    def reset_dictionary(self) -> int:
+        if not self.dictionary_reset:
+            raise ValueError(
+                "Compressor was not initialized with dictionary_reset=True"
+            )
+        return self._call(self._lib.tampn_comp_reset_dictionary)
+
+    def close(self) -> int:
+        if self._h is None:
+            return 0
+        written = self.flush(write_token=self.dictionary_reset)
+        self._lib.tampn_comp_free(self._h)
+        self._h = None
+        return written
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.tampn_comp_free(self._h)
+            self._h = None
+
+
+class NativeDecompressor:
+    """Incremental Tamp decompressor reading from a binary file object."""
+
+    def __init__(self, f, *, dictionary=None):
+        if isinstance(f, (bytes, bytearray)):
+            f = io.BytesIO(f)
+        self.f = f
+        lib = _lib()
+        dict_arr = None
+        n_dict = 0
+        if dictionary is not None:
+            dict_arr = np.frombuffer(bytes(dictionary), dtype=np.uint8)
+            n_dict = dict_arr.shape[0]
+        self._h = lib.tampn_dec_new(
+            None if dict_arr is None else _u8(dict_arr), n_dict
+        )
+        self._lib = lib
+        self._eof = False
+
+    def readinto(self, buf) -> int:
+        view = memoryview(buf)
+        out = np.empty(len(view), dtype=np.uint8)
+        filled = 0
+        while filled < len(view):
+            n = ctypes.c_int64(0)
+            rc = self._lib.tampn_dec_read(
+                self._h, _u8(out), len(view) - filled, ctypes.byref(n)
+            )
+            if rc == -4:
+                raise OutOfBoundsError("window reference outside the window")
+            if rc != 0:
+                raise ValueError(f"invalid tamp stream (native rc={rc})")
+            if n.value:
+                view[filled : filled + n.value] = out[: n.value].tobytes()
+                filled += n.value
+                continue
+            if self._eof:
+                break
+            chunk = self.f.read(1 << 16)
+            if not chunk:
+                self._eof = True
+                continue
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            self._lib.tampn_dec_feed(self._h, _u8(arr), arr.shape[0])
+        return filled
+
+    def read(self, size: int = -1) -> bytearray:
+        if size < 0:
+            out = bytearray()
+            chunk = bytearray(1 << 16)
+            while True:
+                n = self.readinto(chunk)
+                out += chunk[:n]
+                if n < len(chunk):
+                    return out
+        buf = bytearray(size)
+        n = self.readinto(buf)
+        del buf[n:]
+        return buf
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.tampn_dec_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.tampn_dec_free(self._h)
+            self._h = None

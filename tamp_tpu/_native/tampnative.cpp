@@ -35,6 +35,22 @@ const int RLE_TRAIL = 4, EXT_TRAIL = 3;
 const int RLE_MAX = 241, RLE_MAX_WIN = 8;
 const int LOOKAHEAD = 16;
 
+uint8_t SYM_TAB[256], LEN_TAB[256];
+bool huff_tables_ready = false;
+void ensure_huff_tables() {
+  if (huff_tables_ready) return;
+  std::memset(SYM_TAB, 0xFF, 256);
+  for (int sym = 0; sym < 15; sym++) {
+    int nb = HUFF_BITS[sym] - 1;
+    uint32_t code = HUFF_CODE[sym];
+    for (uint32_t j = 0; j < (1u << (8 - nb)); j++) {
+      SYM_TAB[(code << (8 - nb)) | j] = (uint8_t)sym;
+      LEN_TAB[(code << (8 - nb)) | j] = (uint8_t)nb;
+    }
+  }
+  huff_tables_ready = true;
+}
+
 inline int min_pattern_size(int window, int literal) {
   return 2 + (window > (10 + ((literal - 5) << 1)) ? 1 : 0);
 }
@@ -182,6 +198,8 @@ struct Committer {
     return e.cum_prev + inside;
   }
   void record_deletion(int64_t from, int64_t count) {
+    if (!flen) return;  // only table validation reads these (bounds memory
+                        // in table-less streaming use)
     int64_t base = dels.empty() ? 0 : dels.back().cum_prev + dels.back().count;
     dels.push_back({from, count, base});
     diverged = true;
@@ -556,6 +574,88 @@ struct Committer {
   }
 };
 
+// ---- streaming handles -----------------------------------------------------
+// Incremental compress/decompress with the reference's resumable contract
+// (write/flush/reset_dictionary; chunked feed/read with token-atomic
+// resume) — the native analogue of the reference's stream API
+// (tamp/_c_src/tamp/compressor.h tamp_compressor_* / decompressor.h).
+
+struct StreamComp {
+  Committer c;
+  std::vector<uint8_t> buf;   // unconsumed + look-ahead input (c.data aims here)
+  uint64_t acc = 0;           // persistent bit-writer state (< 8 bits between
+  int bits = 0;               // calls except for the queued header)
+  bool last_was_flush = false;
+  bool dictionary_reset = false;
+  bool excess = false;
+
+  void sync_data() {
+    c.data = buf.data();
+    c.N = (int64_t)buf.size();
+  }
+  void compact() {
+    int64_t keep_from = c.t;
+    if (c.rle_count && c.rle_start < keep_from) keep_from = c.rle_start;
+    if (c.ext_count && c.ext_start < keep_from) keep_from = c.ext_start;
+    if (keep_from > (1 << 20)) {
+      buf.erase(buf.begin(), buf.begin() + keep_from);
+      c.t -= keep_from;
+      c.rle_start -= keep_from;  // only meaningful while active; safe anyway
+      c.ext_start -= keep_from;
+      sync_data();
+    }
+  }
+  // Run steps while a full look-ahead is available (mid-stream contract:
+  // the reference emits tokens only with its 16-byte input buffer full).
+  int run_held(BitWriter& bw) {
+    c.bw = &bw;
+    sync_data();
+    while (c.N - c.t >= LOOKAHEAD) {
+      if (bw.n > bw.cap - 64) return 1;  // output nearly full
+      c.step();
+      if (c.excess_bits) { excess = true; return -2; }
+    }
+    compact();
+    return 0;
+  }
+  int drain(BitWriter& bw) {  // consume everything (flush semantics)
+    c.bw = &bw;
+    sync_data();
+    while (true) {
+      while (c.t < c.N) {
+        if (bw.n > bw.cap - 64) return 1;
+        c.step();
+        if (c.excess_bits) { excess = true; return -2; }
+      }
+      if (c.extended && c.rle_count) c.emit_rle();
+      if (c.extended && c.ext_count) c.emit_ext_match();
+      if (c.excess_bits) { excess = true; return -2; }
+      if (c.t >= c.N) break;
+    }
+    c.cached_idx = -1;
+    buf.clear();
+    c.t = 0;
+    sync_data();
+    return 0;
+  }
+};
+
+struct StreamDecomp {
+  std::vector<uint8_t> ring;
+  std::vector<uint8_t> inbuf;
+  std::vector<uint8_t> dict;   // caller-supplied custom dictionary
+  std::vector<uint8_t> spill;  // decoded bytes not yet handed to the caller
+  size_t spill_off = 0;
+  int64_t in_pos = 0;
+  uint64_t acc = 0;
+  int bits = 0;
+  int W = 0, wmask = 0, pos = 0, window = 0, literal = 0, minp = 0;
+  bool extended = false, more = false, custom = false;
+  bool configured = false, have_first = false;
+  bool last_was_flush = false, bad = false;
+  uint8_t first_byte = 0;
+};
+
 }  // namespace
 
 extern "C" {
@@ -650,22 +750,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     bits -= nb;
     return v;
   };
-  // Huffman decode: 256-entry peek table (token codes are <= 8 bits);
-  // bit-by-bit fallback only near end-of-input.
-  static uint8_t SYM_TAB[256], LEN_TAB[256];
-  static bool tab_init = [] {
-    std::memset(SYM_TAB, 0xFF, 256);
-    for (int sym = 0; sym < 15; sym++) {
-      int nb = HUFF_BITS[sym] - 1;
-      uint32_t code = HUFF_CODE[sym];
-      for (uint32_t j = 0; j < (1u << (8 - nb)); j++) {
-        SYM_TAB[(code << (8 - nb)) | j] = (uint8_t)sym;
-        LEN_TAB[(code << (8 - nb)) | j] = (uint8_t)nb;
-      }
-    }
-    return true;
-  }();
-  (void)tab_init;
+  ensure_huff_tables();
   auto read_sym = [&]() -> int {
     while (bits < 8 && pos_in < n) { acc = (acc << 8) | in[pos_in++]; bits += 8; }
     if (bits >= 8) {
@@ -797,6 +882,306 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     return full ? 1 : 0;
   }
   *out_len = o;
+  return 0;
+}
+
+// ---- streaming compressor --------------------------------------------------
+// Statuses: 0 ok, 1 output full (call again with fresh buffer), -2 excess
+// bits, -5 invalid use.
+
+static void stream_comp_init_state(StreamComp* s, const uint8_t* dict) {
+  Committer& c = s->c;
+  c.ring.assign((size_t)c.W, 0);
+  if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
+  else init_dictionary(c.ring.data(), c.W, c.extended ? c.literal : 8);
+  c.pos = 0;
+  c.seed_chains();
+  c.t = 0; c.rle_count = 0; c.ext_count = 0; c.ext_pos = 0;
+  c.cached_idx = -1; c.excess_bits = false;
+  s->buf.clear();
+  s->c.data = nullptr; s->c.N = 0;
+}
+
+void* tampn_comp_new(int window, int literal, int extended, int lazy,
+                     const uint8_t* dict, int dictionary_reset, int append) {
+  auto* s = new StreamComp();
+  Committer& c = s->c;
+  c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
+  c.minp = min_pattern_size(window, literal);
+  c.maxpat = extended ? c.minp + 131 : c.minp + 13;
+  c.extended = extended != 0; c.lazy = lazy != 0;
+  c.flen = nullptr; c.fidx = nullptr; c.plen = nullptr; c.pidx = nullptr;
+  c.full_cap = (LOOKAHEAD < c.maxpat) ? LOOKAHEAD : c.maxpat;
+  s->dictionary_reset = dictionary_reset != 0;
+  stream_comp_init_state(s, dict);
+  if (append) {
+    // An append stream begins with a byte-aligned FLUSH instead of a
+    // header; with the prior stream's trailing FLUSH this forms the
+    // double-FLUSH dictionary-reset signal (append-without-history).
+    s->acc = 0x0ABu << 7;  // 9-bit FLUSH code + zero pad
+    s->bits = 16;
+    s->last_was_flush = true;
+  } else {
+    uint32_t h = (uint32_t)(((window - 8) << 5) | ((literal - 5) << 3) |
+                            ((dict ? 1 : 0) << 2) | ((extended ? 1 : 0) << 1) |
+                            (dictionary_reset ? 1 : 0));
+    s->acc = h;
+    s->bits = 8;
+    if (dictionary_reset) {  // reserved second header byte
+      s->acc <<= 8;
+      s->bits = 16;
+    }
+  }
+  return s;
+}
+
+void tampn_comp_free(void* h) { delete (StreamComp*)h; }
+
+int tampn_comp_write(void* h, const uint8_t* in, int64_t in_len,
+                     uint8_t* out, int64_t out_cap, int64_t* written) {
+  auto* s = (StreamComp*)h;
+  *written = 0;
+  if (s->excess) return -2;
+  if (in_len > 0) s->buf.insert(s->buf.end(), in, in + in_len);
+  BitWriter bw(out, out_cap);
+  bw.acc = s->acc; bw.bits = s->bits;
+  int64_t emitted_before = bw.bits;
+  int rc = s->run_held(bw);
+  if (bw.n * 8 + bw.bits != emitted_before) s->last_was_flush = false;
+  s->acc = bw.acc; s->bits = bw.bits;
+  *written = bw.n;
+  return rc;
+}
+
+int tampn_comp_flush(void* h, int write_token, uint8_t* out, int64_t out_cap,
+                     int64_t* written) {
+  auto* s = (StreamComp*)h;
+  *written = 0;
+  if (s->excess) return -2;
+  BitWriter bw(out, out_cap);
+  bw.acc = s->acc; bw.bits = s->bits;
+  int64_t emitted_before = bw.n * 8 + bw.bits;
+  int rc = s->drain(bw);
+  if (rc) {  // output full mid-drain: save and report
+    s->acc = bw.acc; s->bits = bw.bits;
+    *written = bw.n;
+    return rc;
+  }
+  if (bw.n * 8 + bw.bits != emitted_before) s->last_was_flush = false;
+  bw.put(0, 0);  // drain any whole bytes (e.g. the queued header)
+  bool emit = write_token && !s->last_was_flush;
+  bool token_written = false;
+  if (emit && (bw.bits > 0 || s->dictionary_reset)) {
+    bw.put(0xAB, 9);
+    token_written = true;
+  }
+  bw.pad();
+  if (bw.overflow) return 1;
+  if (token_written) s->last_was_flush = true;
+  s->acc = 0; s->bits = 0;
+  *written = bw.n;
+  return 0;
+}
+
+int tampn_comp_reset_dictionary(void* h, uint8_t* out, int64_t out_cap,
+                                int64_t* written) {
+  auto* s = (StreamComp*)h;
+  *written = 0;
+  if (!s->dictionary_reset) return -5;
+  int64_t total = 0;
+  for (int i = 0; i < 2; i++) {
+    s->last_was_flush = false;  // deliberately bypass suppression
+    int64_t w = 0;
+    int rc = tampn_comp_flush(h, 1, out + total, out_cap - total, &w);
+    total += w;
+    if (rc) { *written = total; return rc; }
+  }
+  stream_comp_init_state(s, nullptr);
+  s->last_was_flush = false;
+  s->acc = 0; s->bits = 0;
+  *written = total;
+  return 0;
+}
+
+// ---- streaming decompressor ------------------------------------------------
+
+void* tampn_dec_new(const uint8_t* dict, int64_t dict_len) {
+  ensure_huff_tables();
+  auto* s = new StreamDecomp();
+  if (dict && dict_len > 0) s->dict.assign(dict, dict + dict_len);
+  return s;
+}
+
+void tampn_dec_free(void* h) { delete (StreamDecomp*)h; }
+
+int tampn_dec_feed(void* h, const uint8_t* in, int64_t in_len) {
+  auto* s = (StreamDecomp*)h;
+  if (in_len > 0) s->inbuf.insert(s->inbuf.end(), in, in + in_len);
+  return 0;
+}
+
+// Decode as much as fits.  Returns 0 (call again after feeding more input
+// if *written < out_cap), -3 invalid stream, -4 OOB reference.
+int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
+  auto* s = (StreamDecomp*)h;
+  int64_t o = 0;
+  *written = 0;
+  if (s->bad) return -3;
+
+  // Serve spilled bytes first.
+  while (s->spill_off < s->spill.size() && o < out_cap)
+    out[o++] = s->spill[s->spill_off++];
+  if (s->spill_off >= s->spill.size()) { s->spill.clear(); s->spill_off = 0; }
+
+  const uint8_t* in = s->inbuf.data();
+  int64_t n = (int64_t)s->inbuf.size();
+
+  if (!s->configured) {
+    if (!s->have_first) {
+      if (s->in_pos >= n) { *written = o; return 0; }
+      s->first_byte = in[s->in_pos++];
+      s->have_first = true;
+    }
+    uint8_t hb = s->first_byte;
+    s->window = (hb >> 5) + 8;
+    s->literal = ((hb >> 3) & 3) + 5;
+    s->custom = (hb >> 2) & 1;
+    s->extended = (hb >> 1) & 1;
+    s->more = hb & 1;
+    if (s->more) {
+      if (s->in_pos >= n) { *written = o; return 0; }
+      if (in[s->in_pos++] != 0) { s->bad = true; return -3; }
+    }
+    s->W = 1 << s->window;
+    s->wmask = s->W - 1;
+    s->minp = min_pattern_size(s->window, s->literal);
+    if (s->custom && (int64_t)s->dict.size() < s->W) { s->bad = true; return -3; }
+    s->ring.assign((size_t)s->W, 0);
+    if (s->custom) std::memcpy(s->ring.data(), s->dict.data(), (size_t)s->W);
+    else init_dictionary(s->ring.data(), s->W, s->extended ? s->literal : 8);
+    s->pos = 0;
+    s->configured = true;
+  }
+
+  uint64_t acc = s->acc;
+  int bits = s->bits;
+  int64_t pos_in = s->in_pos;
+  int pos = s->pos;
+  uint8_t* ring = s->ring.data();
+  const int W = s->W, wmask = s->wmask, minp = s->minp, literal = s->literal;
+
+  auto refill = [&](int need) -> bool {
+    while (bits < need) {
+      if (pos_in >= n) return false;
+      acc = (acc << 8) | in[pos_in++];
+      bits += 8;
+    }
+    return true;
+  };
+  auto take = [&](int nb) -> uint32_t {
+    uint32_t v = (uint32_t)((acc >> (bits - nb)) & ((1ull << nb) - 1));
+    bits -= nb;
+    return v;
+  };
+  bool bad = false;
+  auto read_sym = [&]() -> int {
+    while (bits < 8 && pos_in < n) { acc = (acc << 8) | in[pos_in++]; bits += 8; }
+    if (bits >= 8) {
+      uint32_t peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+      int sym = SYM_TAB[peek];
+      if (sym == 0xFF) { bad = true; return -1; }
+      bits -= LEN_TAB[peek];
+      return sym;
+    }
+    uint32_t key = 1;
+    for (int i = 0; i < 8; i++) {
+      if (!refill(1)) return -1;
+      key = (key << 1) | take(1);
+      for (int sym = 0; sym < 15; sym++)
+        if (key == ((1u << (HUFF_BITS[sym] - 1)) | HUFF_CODE[sym])) return sym;
+    }
+    bad = true;
+    return -1;
+  };
+  // Emit decoded bytes: direct to out, spilling the remainder.
+  auto emit = [&](const uint8_t* src, int count) {
+    int direct = (int)((out_cap - o) < count ? (out_cap - o) : count);
+    if (direct > 0) { std::memcpy(out + o, src, (size_t)direct); o += direct; }
+    if (direct < count)
+      s->spill.insert(s->spill.end(), src + direct, src + count);
+  };
+  uint8_t tmp[256];
+
+  while (s->spill.empty()) {
+    if (!refill(1)) break;
+    uint64_t s_acc = acc; int s_bits = bits; int64_t s_pos = pos_in;
+
+    if (take(1)) {  // literal
+      if (!refill(literal)) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+      uint8_t b = (uint8_t)take(literal);
+      s->last_was_flush = false;
+      emit(&b, 1);
+      ring[pos] = b; if (++pos == W) pos = 0;
+      continue;
+    }
+    int sym = read_sym();
+    if (bad) { s->bad = true; return -3; }
+    if (sym < 0) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+    if (sym == FLUSH_SYM) {
+      acc = 0; bits = 0;
+      if (s->more && s->last_was_flush) {
+        init_dictionary(ring, W, s->extended ? literal : 8);
+        pos = 0;
+      }
+      s->last_was_flush = true;
+      continue;
+    }
+    if (s->extended && sym > 11) {
+      int s2 = read_sym();
+      if (bad) { s->bad = true; return -3; }
+      if (s2 < 0) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+      if (sym == RLE_SYM) {
+        if (!refill(RLE_TRAIL)) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+        s->last_was_flush = false;
+        int count = (s2 << RLE_TRAIL) + (int)take(RLE_TRAIL) + 2;
+        uint8_t b = ring[pos == 0 ? W - 1 : pos - 1];
+        std::memset(tmp, b, (size_t)count);
+        emit(tmp, count);
+        int wr = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+        if (wr > W - pos) wr = W - pos;
+        for (int i = 0; i < wr; i++) { ring[pos] = b; if (++pos == W) pos = 0; }
+        continue;
+      }
+      // extended match
+      if (!refill(EXT_TRAIL + s->window)) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+      s->last_was_flush = false;
+      int size = (s2 << EXT_TRAIL) + (int)take(EXT_TRAIL) + minp + 12;
+      int index = (int)take(s->window);
+      if (index + size > W) { s->bad = true; return -4; }
+      std::memcpy(tmp, ring + index, (size_t)size);
+      int wr = size < (W - pos) ? size : (W - pos);
+      std::memcpy(ring + pos, tmp, (size_t)wr);
+      pos += wr; if (pos == W) pos = 0;
+      emit(tmp, size);
+      continue;
+    }
+    // basic match
+    if (!refill(s->window)) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
+    s->last_was_flush = false;
+    int size = sym + minp;
+    int index = (int)take(s->window);
+    if (index + size > W) { s->bad = true; return -4; }
+    std::memcpy(tmp, ring + index, (size_t)size);
+    for (int i = 0; i < size; i++) { ring[pos] = tmp[i]; if (++pos == W) pos = 0; }
+    emit(tmp, size);
+  }
+
+  s->acc = acc; s->bits = bits; s->in_pos = pos_in; s->pos = pos;
+  if (s->in_pos > (1 << 20)) {  // compact consumed input
+    s->inbuf.erase(s->inbuf.begin(), s->inbuf.begin() + s->in_pos);
+    s->in_pos = 0;
+  }
+  *written = o;
   return 0;
 }
 
