@@ -45,17 +45,38 @@ def bit_size(value: int) -> int:
     return -1
 
 
-def open(f, mode: str = "rb", **kwargs):
+def open(f, mode: str = "rb", *, implementation: str = "auto", **kwargs):
     """Open a Tamp stream for reading (decompression) or writing (compression).
 
     ``mode`` follows the reference contract: ``"r"``/``"rb"`` return a
     (Text)Decompressor, ``"w"``/``"wb"`` a (Text)Compressor; binary modes
     operate on bytes, text modes on str.
+
+    ``implementation``: ``"auto"`` uses the native streaming engine for
+    binary modes when available (byte-identical output, much faster);
+    ``"python"`` / ``"native"`` force a backend.
     """
     if "r" in mode and "w" in mode:
         raise ValueError(f"Cannot open in both read and write mode: {mode!r}")
+    use_native = False
+    if implementation in ("auto", "native") and "b" in mode:
+        from . import _native
+
+        use_native = _native.available()
+        if implementation == "native" and not use_native:
+            raise RuntimeError(f"native engine unavailable: {_native.load_error()}")
+    elif implementation not in ("auto", "python", "native"):
+        raise ValueError(f"Unknown implementation: {implementation!r}")
     if "r" in mode:
+        if use_native:
+            from ._native.stream import NativeDecompressor
+
+            return NativeDecompressor(f, **kwargs)
         return Decompressor(f, **kwargs) if "b" in mode else TextDecompressor(f, **kwargs)
     if "w" in mode:
+        if use_native:
+            from ._native.stream import NativeCompressor
+
+            return NativeCompressor(f, **kwargs)
         return Compressor(f, **kwargs) if "b" in mode else TextCompressor(f, **kwargs)
     raise ValueError(f"Invalid mode: {mode!r}")

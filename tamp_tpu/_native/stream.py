@@ -55,8 +55,10 @@ class NativeCompressor:
             raise ValueError("append=True requires dictionary_reset=True")
         if append and dictionary is not None:
             raise ValueError("append=True cannot use a custom dictionary")
-        if isinstance(f, (bytes, bytearray, str)):
-            raise TypeError("expected a writable binary stream")
+        self._close_f = False
+        if not hasattr(f, "write"):  # path-like
+            f = open(str(f), "wb")
+            self._close_f = True
         self.f = f
         self.dictionary_reset = dictionary_reset
         lib = _lib()
@@ -115,6 +117,8 @@ class NativeCompressor:
         written = self.flush(write_token=self.dictionary_reset)
         self._lib.tampn_comp_free(self._h)
         self._h = None
+        if self._close_f:
+            self.f.close()
         return written
 
     def __enter__(self):
@@ -133,8 +137,12 @@ class NativeDecompressor:
     """Incremental Tamp decompressor reading from a binary file object."""
 
     def __init__(self, f, *, dictionary=None):
+        self._close_f = False
         if isinstance(f, (bytes, bytearray)):
             f = io.BytesIO(f)
+        elif not hasattr(f, "read"):  # path-like
+            f = open(str(f), "rb")
+            self._close_f = True
         self.f = f
         lib = _lib()
         dict_arr = None
@@ -193,6 +201,9 @@ class NativeDecompressor:
         if self._h is not None:
             self._lib.tampn_dec_free(self._h)
             self._h = None
+        if self._close_f:
+            self.f.close()
+            self._close_f = False
 
     def __enter__(self):
         return self

@@ -16,3 +16,5 @@ The TPU-native architecture splits encoding into three phases:
 """
 
 from .encode import encode_v1  # noqa: F401
+from .encode_extended import encode_extended  # noqa: F401
+from .pipeline import device_pipeline_available, encode_device  # noqa: F401

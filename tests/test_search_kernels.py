@@ -1,0 +1,66 @@
+"""Differential tests for the device search kernels against the NumPy oracle
+(the esp32_host differential-testing pattern from the reference, SURVEY §4).
+
+The oracle (engine.search_np) is itself validated byte-exactly against the
+reference encoder via the engine parity suites; these tests pin the XLA and
+Pallas formulations to it.  On CPU the Pallas kernel runs in interpret mode
+(tiny inputs only — it is compiled on real TPUs).
+"""
+
+import numpy as np
+import pytest
+
+from tamp_tpu.dictionary import dictionary_array
+from tamp_tpu.engine.search_np import match_tables
+
+FIELDS = ("len15", "idx15", "len16", "idx16", "probe_len", "probe_idx")
+
+
+def _cases(rng):
+    text = (b"It was the best of times, it was the worst of times, " * 30)
+    return [
+        b"",
+        b"abc",
+        text[:700],
+        bytes(rng.getrandbits(8) for _ in range(900)),
+        bytes(rng.choice(b"ab") for _ in range(600)),
+        bytes([5]) * 400,
+    ]
+
+
+def _assert_equal(a, b, tag):
+    for f in FIELDS:
+        x, y = getattr(a, f), getattr(b, f)
+        if x is None and y is None:
+            continue
+        x = np.asarray(x, dtype=np.int64)
+        y = np.asarray(y, dtype=np.int64)
+        bad = np.nonzero(x != y)[0]
+        assert bad.size == 0, (tag, f, bad[:5], x[bad[:5]], y[bad[:5]])
+
+
+@pytest.mark.parametrize("w", [8, 10, 12])
+def test_mxu_matches_oracle(w, rng):
+    from tamp_tpu.ops.match_mxu import match_tables_mxu
+
+    d = dictionary_array(1 << w)
+    for i, data in enumerate(_cases(rng)):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        a = match_tables(arr, d, w, compute_probe=True)
+        b = match_tables_mxu(arr, d, w, compute_probe=True)
+        _assert_equal(a, b, (w, i))
+
+
+@pytest.mark.parametrize("w", [8, 10])
+def test_pallas_matches_oracle(w, rng):
+    from tamp_tpu.ops.match_pallas import match_tables_pallas, pallas_available
+
+    d = dictionary_array(1 << w)
+    # Interpret mode is slow: one small mixed case unless on a real TPU.
+    n = 2000 if pallas_available() else 300
+    text = (b"the quick brown fox jumps over the lazy dog " * 50)[: n // 2]
+    data = text + bytes(rng.getrandbits(8) for _ in range(n - len(text)))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    a = match_tables(arr, d, w, compute_probe=True)
+    b = match_tables_pallas(arr, d, w, compute_probe=True)
+    _assert_equal(a, b, w)
