@@ -4,7 +4,7 @@ The TPU-native architecture splits encoding into three phases:
 
 1. **search** (O(N*window), massively parallel): per input position, the
    longest ring-buffer match and its ring index — NumPy oracle in
-   :mod:`.search_np`, JAX/XLA in :mod:`tamp_tpu.ops.match_jax`, Pallas
+   :mod:`.search_np`, JAX/XLA in :mod:`tamp_tpu.ops.match_mxu`, Pallas
    kernel in :mod:`tamp_tpu.ops.match_pallas`.  Exploits the fact that the
    window state at position ``t`` is a pure function of ``t`` (v1) or of the
    committed write history (extended).

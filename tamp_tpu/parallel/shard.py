@@ -73,7 +73,8 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
 
     from ..constants import HUFFMAN_LENGTHS, compute_min_pattern_size
     from ..dictionary import dictionary_array
-    from ..ops.match_jax import LMAX, chunk_kernel
+    from ..ops.match_mxu import mxu_chunk
+    from ..engine.search_np import LMAX
 
     S, L = data.shape
     W = 1 << window_bits
@@ -92,9 +93,7 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
     match_bits = 2 + window_bits  # cheapest match token (huffman "0" + offset)
 
     def per_shard(C_row, d_row):
-        _len15, _idx15, len16, idx16 = chunk_kernel(
-            C_row, d_row, 0, window_bits, L, False
-        )
+        _l15, _i15, len16, idx16 = mxu_chunk(C_row, d_row, 0, window_bits, L, False)
         # Density-based compressed-size estimate: each position contributes
         # the cheaper of a literal or its share of a cheapest-rate match.
         lit_cost = jnp.float32(1 + literal_bits)
