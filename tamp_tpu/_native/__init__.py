@@ -25,9 +25,15 @@ _load_error: str | None = None
 
 
 def _build() -> None:
+    extra = []
+    if os.environ.get("TAMP_TPU_SANITIZE"):
+        # Reference parity: sanitizer-built extensions in CI (TAMP_SANITIZE).
+        # Run python with LD_PRELOAD=libasan.so when using this.
+        extra = ["-O1", "-g", "-fsanitize=address,undefined",
+                 "-fno-sanitize-recover=all"]
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB_PATH + ".tmp", _SRC,
+        *extra, "-o", _LIB_PATH + ".tmp", _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

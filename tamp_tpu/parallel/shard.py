@@ -180,10 +180,9 @@ def compress_sharded(
     return head + sizes + b"".join(blobs)
 
 
-def decompress_sharded(blob: bytes) -> bytearray:
-    """Decode a TTPU container (shards decoded independently, ordered)."""
-    from ..decompressor import decompress
-
+def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
+    """Decode a TTPU container (shards decoded independently, in order;
+    decoded in parallel through the native decoder when available)."""
     if blob[:4] != MAGIC:
         raise ValueError("not a TTPU container")
     ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
@@ -192,10 +191,31 @@ def decompress_sharded(blob: bytes) -> bytearray:
     off = 4 + 14
     sizes = struct.unpack_from(f"<{n}I", blob, off)
     off += 4 * n
-    out = bytearray()
+    pieces = []
     for sz in sizes:
-        out += decompress(blob[off : off + sz])
+        pieces.append(blob[off : off + sz])
         off += sz
+
+    from .. import _native
+
+    if _native.available():
+        decode = _native.native_decompress
+        if workers is None:
+            import os
+
+            workers = os.cpu_count()
+    else:
+        from ..decompressor import decompress as decode
+    if workers and len(pieces) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            decoded = list(ex.map(decode, pieces))
+    else:
+        decoded = [decode(p) for p in pieces]
+    out = bytearray()
+    for d in decoded:
+        out += d
     if len(out) != raw_size:
         raise ValueError("container raw-size mismatch")
     return out
