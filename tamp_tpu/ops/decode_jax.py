@@ -1,0 +1,287 @@
+"""Device (JAX) Tamp decoder: chunked token-parse + copy resolution.
+
+Decompression of one Tamp stream is bit-serial (token boundaries are only
+known after parsing), so the device axis of parallelism is *across* chunks:
+every shard of a TTPU container is an independent stream, and a
+``vmap``-ed ``lax.while_loop`` decodes all of them in lockstep on the VPU —
+the "chunked token-parse + copy-resolution" formulation of the north star.
+The per-step state is scalar per shard (bit accumulator, ring head, output
+cursor); matches/RLE resolve their copies with bounded ``fori_loop``s using
+the reference's snapshot order (source bytes land in the output first, the
+window is then written from the output — decompressor copy contract).
+
+This is the capability/correctness path (full config-lattice parity with
+the native decoder, flush/reset/custom-dictionary support).  Measured on a
+v5e through this environment: ~14 µs per shard-token — the batch-dynamic
+window slices serialize across the vmap batch in today's lowering, so the
+C++ decoder (:mod:`tamp_tpu._native`, 129 MB/s single-thread / 212 MB/s on
+a 4-thread container) remains the production decode; the device path is
+where a future gather-free formulation would slot in.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import (
+    FLUSH_SYMBOL,
+    HUFFMAN_CODES,
+    HUFFMAN_LENGTHS,
+    compute_min_pattern_size,
+)
+from ..dictionary import dictionary_array
+from ._jaxinit import ensure_jax_cache
+
+ensure_jax_cache()
+
+__all__ = ["decode_shards_device"]
+
+RLE_SYM, EXT_SYM = 12, 13
+PAD = 256  # >= the largest token output (RLE <= 241); W >= 256 always
+
+
+def _peek_tables():
+    sym = np.full(256, -1, np.int32)
+    ln = np.zeros(256, np.int32)
+    for s in range(15):
+        nb = HUFFMAN_LENGTHS[s] - 1
+        code = HUFFMAN_CODES[s]
+        base = code << (8 - nb)
+        for j in range(1 << (8 - nb)):
+            sym[base | j] = s
+            ln[base | j] = nb
+    return jnp.asarray(sym), jnp.asarray(ln)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "literal", "extended", "more", "max_out")
+)
+def _decode_batch(blobs, lengths, skip, dict_init, window, literal, extended, more, max_out):
+    """Decode (S, Lc) shard payloads -> (S, max_out) bytes, lengths, errors.
+
+    ``skip``: per-shard header bytes already consumed (host-parsed).
+    """
+    W = 1 << window
+    wmask = W - 1
+    minp = compute_min_pattern_size(window, literal)
+    SYM, LEN = _peek_tables()
+    u32 = jnp.uint32
+
+    def one(blob, n, start):
+        def cond(st):
+            return ~(st["done"] | st["err"]) & (st["o"] < max_out)
+
+        def body(st):
+            acc, bits, ip = st["acc"], st["bits"], st["ip"]
+            ring, out = st["ring"], st["out"]
+            pos, o, lwf = st["pos"], st["o"], st["lwf"]
+
+            # The worst token (flag+sym+sym2+trail+window) is 35 bits — more
+            # than the u32 accumulator — so the parse is staged: consume each
+            # sub-field, refilling between stages (each stage needs <= 24
+            # bits).  Consumed high bits become garbage above `bits`, which
+            # the shifts never read and << pushes off the top.
+            def refill(acc, bits, ip):
+                for _ in range(3):
+                    can = (bits <= 24) & (ip < n)
+                    byte = jnp.where(can, blob[jnp.minimum(ip, n - 1)], 0).astype(u32)
+                    acc = jnp.where(can, (acc << 8) | byte, acc)
+                    bits = jnp.where(can, bits + 8, bits)
+                    ip = jnp.where(can, ip + 1, ip)
+                return acc, bits, ip
+
+            def peek(nb, from_bits):
+                sh = jnp.maximum(from_bits - nb, 0).astype(u32)
+                return ((acc >> sh) & u32((1 << nb) - 1)).astype(jnp.int32)
+
+            def peek8pad(from_bits):
+                # Top 8 bits, zero-padded when fewer remain: the token code
+                # is a complete prefix code, so a zero-extended short tail
+                # still resolves to the right symbol (validity = LEN <= bits).
+                few = from_bits < 8
+                nlow = jnp.minimum(jnp.maximum(from_bits, 0), 8).astype(u32)
+                low = acc & ((u32(1) << nlow) - u32(1))
+                padded = (low << (u32(8) - nlow)).astype(jnp.int32) & 0xFF
+                return jnp.where(few, padded, peek(8, from_bits))
+
+            # ---- stage 1: flag + first symbol / literal value ------------
+            acc, bits, ip = refill(acc, bits, ip)
+            have_flag = bits >= 1
+            flag = jnp.where(have_flag, peek(1, bits), 0)
+            b1 = bits - 1  # after the flag
+
+            lit_ok = have_flag & (flag == 1) & (b1 >= literal)
+            lit_val = peek(literal, b1)
+
+            pk = jnp.where(have_flag & (flag == 0) & (b1 >= 1), peek8pad(b1), 0)
+            have_sym = have_flag & (flag == 0) & (b1 >= 1) & (LEN[pk] <= b1)
+            s1 = jnp.where(have_sym, SYM[pk], -1)
+            sym_bad = have_sym & (s1 < 0)
+            b2 = b1 - jnp.where(have_sym, LEN[pk], 0)  # after symbol 1
+
+            is_flush = have_sym & (s1 == FLUSH_SYMBOL)
+            is_rle = have_sym & (s1 == RLE_SYM) if extended else jnp.bool_(False)
+            is_ext = have_sym & (s1 == EXT_SYM) if extended else jnp.bool_(False)
+            is_basic = have_sym & ~is_flush & ~is_rle & ~is_ext
+
+            # consume stage-1 bits, refill for stage 2
+            consumed1 = jnp.where(lit_ok, 1 + literal,
+                                  jnp.where(have_sym, bits - b2, 0))
+            bits = bits - consumed1
+            acc, bits, ip = refill(acc, bits, ip)
+
+            # ---- stage 2: secondary symbol (RLE/extended) / basic offset -
+            pk2 = jnp.where((is_rle | is_ext) & (bits >= 1), peek8pad(bits), 0)
+            have_sym2 = (is_rle | is_ext) & (bits >= 1) & (LEN[pk2] <= bits)
+            s2 = jnp.where(have_sym2, SYM[pk2], -1)
+            sym2_bad = have_sym2 & (s2 < 0)
+
+            bm_ok = is_basic & (bits >= window)
+            bm_idx = jnp.where(bm_ok, peek(window, bits), 0)
+            bm_sz = s1 + minp
+
+            consumed2 = jnp.where(have_sym2, LEN[pk2],
+                                  jnp.where(bm_ok, window, 0))
+            bits = bits - consumed2
+            acc, bits, ip = refill(acc, bits, ip)
+
+            # ---- stage 3: RLE trail / extended trail + offset ------------
+            rle_ok = is_rle & have_sym2 & ~sym2_bad & (bits >= 4)
+            rle_cnt = jnp.where(rle_ok, (s2 << 4) + peek(4, bits) + 2, 0)
+
+            ext_ok = is_ext & have_sym2 & ~sym2_bad & (bits >= 3 + window)
+            ext_sz = jnp.where(ext_ok, (s2 << 3) + peek(3, bits) + minp + 12, 0)
+            ext_idx = jnp.where(ext_ok, peek(window, bits - 3), 0)
+
+            consumed3 = jnp.where(rle_ok, 4, jnp.where(ext_ok, 3 + window, 0))
+            bits = bits - consumed3
+
+            oob = (bm_ok & (bm_idx + bm_sz > W)) | (ext_ok & (ext_idx + ext_sz > W))
+
+            # copy parameters (0 for literal/flush)
+            cp_cnt = jnp.where(rle_ok, rle_cnt,
+                               jnp.where(ext_ok, ext_sz,
+                                         jnp.where(bm_ok, bm_sz, 0)))
+            cp_idx = jnp.where(ext_ok, ext_idx, bm_idx)
+            prev = ring[(pos - 1) & wmask]
+            iota = lax.iota(jnp.int32, PAD)
+
+            # Phase 1 (snapshot order): source bytes -> output, as one
+            # masked PAD-wide window blend (no per-byte loops).  The doubled
+            # ring makes wrapped source reads a plain dynamic slice.
+            ring2 = jnp.concatenate([ring, ring])
+            srcwin = lax.dynamic_slice(ring2, (cp_idx,), (PAD,))
+            srcwin = jnp.where(rle_ok, prev, srcwin)
+            outwin = lax.dynamic_slice(out, (o,), (PAD,))
+            blend = jnp.where(iota < cp_cnt, srcwin, outwin)
+            blend = blend.at[0].set(jnp.where(lit_ok, lit_val, blend[0]))
+            out = lax.dynamic_update_slice(out, blend, (o,))
+
+            # Phase 2: window writes from the output snapshot.  Writes go
+            # into the doubled ring at pos (never wraps within 2W), then the
+            # wrapped tail folds back onto the front.
+            wr_cnt = jnp.where(rle_ok, jnp.minimum(jnp.minimum(rle_cnt, 8), W - pos),
+                               jnp.where(ext_ok, jnp.minimum(ext_sz, W - pos),
+                                         cp_cnt))
+            weff = jnp.where(lit_ok, 1, wr_cnt)
+            curwin = lax.dynamic_slice(ring2, (pos,), (PAD,))
+            wwin = jnp.where(iota < weff, blend, curwin)
+            ring2u = lax.dynamic_update_slice(ring2, wwin, (pos,))
+            wrap = pos + weff - W  # > 0 only for wrapping basic matches
+            iw = lax.iota(jnp.int32, W)
+            ring = jnp.where(iw < wrap, ring2u[W:], ring2u[:W])
+
+            # FLUSH handling (byte-align = drop buffered bits); a double
+            # FLUSH resets the dictionary on more_header streams only.
+            f_reset = (is_flush & lwf) if more else jnp.bool_(False)
+            ring = jnp.where(f_reset, dict_init, ring)
+
+            advanced = lit_ok | is_flush | rle_ok | ext_ok | bm_ok
+            err = st["err"] | sym_bad | sym2_bad | oob | \
+                ((is_rle | is_ext) & have_sym2 & sym2_bad)
+            done = ~advanced & ~err
+
+            new_pos = jnp.where(lit_ok, (pos + 1) & wmask,
+                                jnp.where(f_reset, 0,
+                                          (pos + wr_cnt) & wmask))
+            # FLUSH byte-aligns: drop only the pad bits finishing the current
+            # byte (the top bits % 8); whole buffered bytes belong to the
+            # next tokens (the refill here is aggressive, unlike the
+            # byte-at-a-time native decoder where clearing is equivalent).
+            new = dict(
+                acc=acc,
+                bits=jnp.where(is_flush, bits - jnp.remainder(bits, 8), bits),
+                ip=ip,
+                ring=ring,
+                out=out,
+                pos=new_pos,
+                o=o + jnp.where(lit_ok, 1, cp_cnt),
+                lwf=jnp.where(is_flush, True, jnp.where(advanced, False, lwf)),
+                done=st["done"] | done,
+                err=err,
+            )
+            return new
+
+        st = lax.while_loop(cond, body, dict(
+            acc=u32(0), bits=jnp.int32(0), ip=start, pos=jnp.int32(0),
+            o=jnp.int32(0), lwf=jnp.bool_(False), done=jnp.bool_(False),
+            err=jnp.bool_(False), ring=dict_init,
+            out=jnp.zeros(max_out + PAD, jnp.int32),
+        ))
+        return st["out"][:max_out], st["o"], st["err"]
+
+    return jax.vmap(one)(blobs, lengths, skip)
+
+
+def decode_shards_device(shards, *, dictionary=None, max_out: int) -> list[bytes]:
+    """Decode a list of same-config Tamp streams on the device.
+
+    All shards must share one header configuration (the TTPU container
+    guarantees this).  ``max_out`` bounds the decoded size per shard.
+    """
+    if not shards:
+        return []
+    h = shards[0][0]
+    window = (h >> 5) + 8
+    literal = ((h >> 3) & 3) + 5
+    custom = (h >> 2) & 1
+    extended = (h >> 1) & 1
+    more = h & 1
+    skip0 = 2 if more else 1
+    if custom:
+        if dictionary is None:
+            raise ValueError("stream requires a custom dictionary")
+        dict_init = np.frombuffer(bytes(dictionary), np.uint8).astype(np.int32)
+    else:
+        dict_init = dictionary_array(
+            1 << window, literal=literal if extended else 8
+        ).astype(np.int32)
+
+    S = len(shards)
+    Lc = max(len(s) for s in shards)
+    blobs = np.zeros((S, Lc), np.int32)
+    lengths = np.zeros(S, np.int32)
+    skips = np.full(S, skip0, np.int32)
+    for i, s in enumerate(shards):
+        if s[0] != h:
+            raise ValueError("shards must share one header configuration")
+        blobs[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lengths[i] = len(s)
+
+    outs, lens, errs = _decode_batch(
+        jnp.asarray(blobs), jnp.asarray(lengths), jnp.asarray(skips),
+        jnp.asarray(dict_init), int(window), int(literal), bool(extended),
+        bool(more), int(max_out),
+    )
+    outs = np.asarray(outs).astype(np.uint8)
+    lens = np.asarray(lens)
+    errs = np.asarray(errs)
+    if errs.any():
+        raise ValueError(f"invalid tamp stream in shard(s) {np.nonzero(errs)[0][:4]}")
+    return [outs[i, : lens[i]].tobytes() for i in range(S)]

@@ -25,6 +25,7 @@ __all__ = [
     "sharded_search_step",
     "compress_sharded",
     "decompress_sharded",
+    "decompress_sharded_device",
     "DEFAULT_SHARD_SIZE",
 ]
 
@@ -215,6 +216,32 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
         decoded = [decode(p) for p in pieces]
     out = bytearray()
     for d in decoded:
+        out += d
+    if len(out) != raw_size:
+        raise ValueError("container raw-size mismatch")
+    return out
+
+
+def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE) -> bytearray:
+    """Decode a TTPU container on the device: all shards token-parsed in
+    lockstep by the vmapped JAX decoder (ops.decode_jax)."""
+    from ..ops.decode_jax import decode_shards_device
+
+    if blob[:4] != MAGIC:
+        raise ValueError("not a TTPU container")
+    ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
+    if ver != 1:
+        raise ValueError(f"unsupported TTPU version {ver}")
+    off = 4 + 14
+    sizes = struct.unpack_from(f"<{n}I", blob, off)
+    off += 4 * n
+    pieces = []
+    for sz in sizes:
+        pieces.append(blob[off : off + sz])
+        off += sz
+    outs = decode_shards_device(pieces, max_out=shard_size)
+    out = bytearray()
+    for d in outs:
         out += d
     if len(out) != raw_size:
         raise ValueError("container raw-size mismatch")

@@ -1,0 +1,78 @@
+"""Device (JAX) decoder tests: parity with the native decoder across
+configurations, flush/reset streams, and TTPU containers."""
+
+import random
+
+import numpy as np
+import pytest
+
+import tamp_tpu
+from tamp_tpu import _native
+from tamp_tpu.ops.decode_jax import decode_shards_device
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason="native encoder needed to build fixtures"
+)
+
+
+def _gen(rng, n, style):
+    if style == 0:
+        return bytes(rng.getrandbits(8) for _ in range(n))
+    if style == 1:
+        return bytes(rng.choice(b"hello world ") for _ in range(n))
+    if style == 2:
+        return bytes([7]) * n
+    return (b"abcdefgh" * (n // 8 + 1))[:n]
+
+
+@pytest.mark.parametrize("w,lit,ext", [
+    (10, 8, True), (8, 8, False), (12, 7, True), (9, 5, True),
+])
+def test_device_decode_parity(w, lit, ext, rng):
+    mask = (1 << lit) - 1
+    datas = [
+        bytes(b & mask for b in _gen(rng, rng.randrange(50, 1500), s % 4))
+        for s in range(6)
+    ]
+    shards = [
+        _native.native_compress(d, window=w, literal=lit, extended=ext)
+        for d in datas
+    ]
+    outs = decode_shards_device(shards, max_out=1500)
+    for o, d in zip(outs, datas):
+        assert o == d
+
+
+def test_device_decode_flush_and_reset(rng):
+    import io
+
+    from tamp_tpu._native.stream import NativeCompressor
+
+    out = io.BytesIO()
+    c = NativeCompressor(out, dictionary_reset=True)
+    c.write(b"first segment " * 20)
+    c.flush()
+    c.write(b"second segment " * 20)
+    c.reset_dictionary()
+    c.write(b"third segment " * 20)
+    c.close()
+    blob = out.getvalue()
+    expected = bytes(tamp_tpu.decompress(blob))
+    (got,) = decode_shards_device([blob], max_out=4096)
+    assert got == expected
+
+
+def test_device_decode_container(rng):
+    from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded_device
+
+    data = bytes(rng.choice(b"tampa bay buccaneers ") for _ in range(60000))
+    blob = compress_sharded(data, shard_size=4096, engine="native")
+    assert bytes(decompress_sharded_device(blob, shard_size=4096)) == data
+
+
+def test_device_decode_custom_dictionary(rng):
+    d = bytes((b"shared dictionary content " * 64)[:1024])
+    data = b"shared dictionary content is reused here"
+    blob = _native.native_compress(data, dictionary=d)
+    (got,) = decode_shards_device([blob], dictionary=d, max_out=256)
+    assert got == data
