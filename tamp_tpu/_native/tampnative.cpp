@@ -451,16 +451,25 @@ struct Committer {
     // --- extended-match continuation -----------------------------------
     if (ext_count) {
       cached_idx = -1;
-      uint8_t target[160];  // max_pattern + 1 <= 135
+      // The growth target is exactly the input bytes the match reproduces
+      // (matches copy the window, the window held those bytes): no ring
+      // materialization needed, and appending a byte is free.
       while (t < N) {
         if (plan && t >= B) { emit_ext_match(); return; }
         if (ext_pos + ext_count >= W) { emit_ext_match(); return; }
-        // target = ring[ext_pos..+count] ++ next byte; search from ext_pos
-        for (int i = 0; i < ext_count; i++) target[i] = ring[(ext_pos + i) & wmask];
-        target[ext_count] = data[t];
-        // Reference semantics relocate only to sources at >= ext_pos
-        // (compressor.py:304); in planned (non-parity) mode searching the
-        // whole window finds strictly more growth opportunities.
+        const uint8_t* target = data + ext_start;
+        // In-place extension: ext_pos is the lowest index >= the search
+        // start, so when the current location extends, it IS the search
+        // result (reference semantics search from ext_pos,
+        // compressor.py:304) — skip the chain walk entirely.
+        if (!plan && ring[ext_pos + ext_count] == target[ext_count]) {
+          t++;
+          ext_count++;
+          if (ext_count == maxpat) { emit_ext_match(); return; }
+          continue;
+        }
+        // Relocation search; in planned (non-parity) mode the whole window
+        // is searched, which finds strictly more growth opportunities.
         SearchResult r = chain_search(target, ext_count + 1, maxpat,
                                       plan ? 0 : ext_pos);
         if (r.size > ext_count) {

@@ -134,3 +134,23 @@ def test_encode_v1_custom_dictionary(ref_tamp):
 def test_encode_v1_excess_bits():
     with pytest.raises(tamp_tpu.ExcessBitsError):
         encode_v1(b"\x80", literal=7)
+
+
+def test_pack_bits_jnp_matches_np(rng):
+    import numpy as np
+
+    from tamp_tpu.ops.bitpack import pack_bits_jnp, pack_bits_np
+
+    for trial in range(4):
+        n = rng.randrange(1, 400)
+        nbits = np.array([rng.randrange(1, 21) for _ in range(n)], np.int64)
+        values = np.array(
+            [rng.getrandbits(int(b)) for b in nbits], np.uint64
+        )
+        ref, total = pack_bits_np(values, nbits)
+        max_bytes = len(ref) + 8
+        dev, dev_total = pack_bits_jnp(
+            np.asarray(values, np.uint32), np.asarray(nbits, np.int32), max_bytes
+        )
+        assert int(dev_total) == total
+        assert bytes(np.asarray(dev)[: len(ref)].tobytes()) == ref
