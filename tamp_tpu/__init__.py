@@ -11,11 +11,47 @@ device mesh).
 
 __version__ = "0.1.0"
 
-from .compressor import Compressor, TextCompressor, compress
+from .compressor import Compressor, TextCompressor
+from .compressor import compress as _py_compress
 from .constants import compute_min_pattern_size
-from .decompressor import Decompressor, TextDecompressor, decompress
+from .decompressor import Decompressor, TextDecompressor
+from .decompressor import decompress as _py_decompress
 from .dictionary import initialize_dictionary
 from .exceptions import ExcessBitsError, OutOfBoundsError
+
+
+def compress(data, **kwargs):
+    """One-shot compression, dispatched to the fastest implementation.
+
+    Mirrors the reference's import-fallback dispatch (tamp/__init__.py:73-93:
+    viper -> Cython -> pure Python): the native C++ engine when available —
+    byte-identical output, verified by the differential suite — else the
+    pure-Python codec.  ``tamp_tpu.compressor.compress`` is always the
+    Python implementation.
+    """
+    from . import _native
+
+    if _native.available():
+        if "dictionary" in kwargs and kwargs["dictionary"] is not None:
+            kwargs["dictionary"] = bytes(kwargs["dictionary"])
+        return _native.native_compress(bytes(data), **kwargs)
+    return _py_compress(data, **kwargs)
+
+
+def decompress(data, **kwargs):
+    """One-shot decompression via the fastest implementation (see compress).
+
+    Note the native decoder rejects out-of-window references (reference C
+    behavior); ``tamp_tpu.decompressor.decompress`` keeps the permissive
+    pure-Python semantics.
+    """
+    from . import _native
+
+    if _native.available():
+        if "dictionary" in kwargs and kwargs["dictionary"] is not None:
+            kwargs["dictionary"] = bytes(kwargs["dictionary"])
+        return _native.native_decompress(bytes(data), **kwargs)
+    return _py_decompress(data, **kwargs)
 
 __all__ = [
     "Compressor",
