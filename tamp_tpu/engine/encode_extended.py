@@ -36,13 +36,12 @@ def encode_extended(
 ) -> bytes:
     """Encode a complete extended-format Tamp stream via the engine.
 
-    ``avoid_divergence=None`` picks per window: small rings (<=512 B) wrap so
-    often that splitting extended matches at the ring end costs more than the
-    table-invalidation fallbacks it prevents, so they commit with deletion
-    tracking instead.
+    ``avoid_divergence`` trades ring-end extended-match splits against
+    table-invalidation fallbacks; which wins is data-dependent.  The
+    default (None) commits **both** ways and keeps the smaller stream —
+    the sequential commit is cheap next to the table search, and both
+    outputs are exact round-trips.
     """
-    if avoid_divergence is None:
-        avoid_divergence = window >= 10
     from .. import _native
 
     if not _native.available():  # graceful fallback: exact streaming encoder
@@ -81,13 +80,18 @@ def encode_extended(
     # note: extended max_pattern >= 16, so the full cap is 16 (len16/idx16);
     # len15 fields above are placeholders for the container shape.
 
-    return _native.native_compress(
-        data.tobytes(),
-        window=window, literal=literal, extended=True,
-        lazy_matching=lazy_matching,
-        dictionary=None if dictionary is None else bytes(dictionary),
-        tables=gathered,
-        avoid_divergence=avoid_divergence,
-        khat=khat,
-        plan=plans,
-    )
+    def commit(avoid: bool) -> bytes:
+        return _native.native_compress(
+            data.tobytes(),
+            window=window, literal=literal, extended=True,
+            lazy_matching=lazy_matching,
+            dictionary=None if dictionary is None else bytes(dictionary),
+            tables=gathered,
+            avoid_divergence=avoid,
+            khat=khat,
+            plan=plans,
+        )
+
+    if avoid_divergence is not None:
+        return commit(avoid_divergence)
+    return min(commit(True), commit(False), key=len)

@@ -1,0 +1,135 @@
+"""Long-running differential fuzz campaign.
+
+Reference analogues: fuzz/fuzz_round_trip.c + fuzz/fuzz_decompressor.c
+(libFuzzer targets) and the differential esp32_host harness.  Every trial:
+
+- one-shot native encode == reference encode (byte parity) across the
+  config lattice (window 8-15, literal 5-8, extended/lazy);
+- exact round-trips through the native and pure-Python decoders;
+- streaming encode with random chunking, mid-stream flushes, dictionary
+  resets, and custom dictionaries — decoded by the *reference* package;
+- decoder robustness on random bit-flips of valid streams (no crashes).
+
+Usage: python tools/fuzz_campaign.py [seconds] [seed]
+Requires the reference package at /root/reference for the oracle.
+"""
+
+import io
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, "/root/reference")
+
+
+def gen_data(rng, n):
+    style = rng.randrange(6)
+    if style == 0:
+        return bytes(rng.getrandbits(8) for _ in range(n))
+    if style == 1:
+        return bytes(rng.choice(b"abcdef ") for _ in range(n))
+    if style == 2:
+        out = bytearray()
+        while len(out) < n:
+            if rng.random() < 0.4:
+                out += bytes([rng.getrandbits(8)]) * rng.randrange(1, 500)
+            else:
+                out += bytes(
+                    rng.choice(b"lorem ipsum dolor") for _ in range(rng.randrange(1, 300))
+                )
+        return bytes(out[:n])
+    if style == 3:
+        return (b"abcdefgh" * ((n // 8) + 1))[:n]
+    if style == 4:
+        return bytes([rng.getrandbits(8)]) * n
+    return bytes(rng.choice(b"ab") for _ in range(n))
+
+
+def main() -> int:
+    duration = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF00D
+
+    import tamp as ref  # the reference oracle
+
+    import tamp_tpu
+    from tamp_tpu import _native
+    from tamp_tpu._native.stream import NativeCompressor
+    from tamp_tpu.decompressor import decompress as py_decompress
+
+    rng = random.Random(seed)
+    t_end = time.time() + duration
+    trials = fails = 0
+
+    while time.time() < t_end:
+        trials += 1
+        n = rng.randrange(0, 30000)
+        w = rng.choice([8, 9, 10, 11, 12, 13, 15])
+        lit = rng.choice([5, 6, 7, 8, 8, 8])
+        ext = rng.random() < 0.7
+        lazy = rng.random() < 0.4
+        mask = (1 << lit) - 1
+        data = bytes(b & mask for b in gen_data(rng, n))
+        use_dict = ext and rng.random() < 0.15
+        dict_ = None
+        if use_dict:
+            dict_ = bytes(
+                b & mask for b in gen_data(rng, 1 << w)
+            )
+        try:
+            kw = dict(window=w, literal=lit, extended=ext, lazy_matching=lazy)
+            ours = _native.native_compress(
+                data, dictionary=dict_, **kw
+            )
+            theirs = ref.compress(
+                data, **kw,
+                **({"dictionary": bytearray(dict_)} if dict_ else {}),
+            )
+            assert ours == theirs, "encode parity"
+            assert bytes(
+                _native.native_decompress(ours, dictionary=dict_)
+            ) == data, "native rt"
+            assert bytes(py_decompress(ours, dictionary=dict_ and bytearray(dict_))) == data, "python rt"
+
+            if not use_dict:
+                # Decoded output is everything ever written; reset_dictionary
+                # only clears the window, not prior output.
+                out = io.BytesIO()
+                c = NativeCompressor(out, dictionary_reset=True, **kw)
+                i = 0
+                while i < len(data):
+                    step = rng.randrange(1, 5000)
+                    c.write(data[i : i + step])
+                    i += step
+                    if rng.random() < 0.08:
+                        c.flush(write_token=True)
+                    if rng.random() < 0.02:
+                        c.reset_dictionary()
+                c.close()
+                got = bytes(ref.decompress(out.getvalue()))
+                assert got == data, "stream rt via reference"
+
+            if ours and not use_dict:
+                m = bytearray(ours)
+                for _ in range(rng.randrange(1, 4)):
+                    m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+                for fn in (py_decompress, _native.native_decompress):
+                    try:
+                        fn(bytes(m))
+                    except Exception:
+                        pass
+        except AssertionError as e:
+            fails += 1
+            print(f"FAIL trial={trials} n={n} w={w} lit={lit} ext={ext} "
+                  f"lazy={lazy} dict={use_dict}: {e}", flush=True)
+            if fails >= 5:
+                break
+        if trials % 200 == 0:
+            print(f"{trials} trials, {fails} fails", flush=True)
+    print(f"DONE: {trials} trials, {fails} failures", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
