@@ -43,7 +43,7 @@ def main() -> None:
 
     data = build_corpus(SIZE_MB << 20)
 
-    pipelines = [("native-mt", dict(engine="native", workers=os.cpu_count()))]
+    pipelines = [("native-mt", dict(engine="native", workers=(os.cpu_count() or 4) + 2))]
     try:
         from tamp_tpu.engine.pipeline import device_pipeline_available
 

@@ -75,11 +75,17 @@ class NativeCompressor:
         self._lib = lib
         self._out = np.empty(1 << 16, dtype=np.uint8)
 
-    def _call(self, fn, *head) -> int:
+    def _call(self, fn, *head, drain_head=None) -> int:
+        """Invoke a native stream entry point, draining the output buffer.
+
+        On OUTPUT_FULL (rc=1) the call repeats with ``drain_head`` (for
+        write: empty input — re-passing the data would duplicate it).
+        """
         written = 0
+        args = head
         while True:
             n = ctypes.c_int64(0)
-            rc = fn(self._h, *head, _u8(self._out), self._out.shape[0],
+            rc = fn(self._h, *args, _u8(self._out), self._out.shape[0],
                     ctypes.byref(n))
             if n.value:
                 self.f.write(self._out[: n.value].tobytes())
@@ -87,6 +93,8 @@ class NativeCompressor:
             if rc == 0:
                 return written
             if rc == 1:
+                if drain_head is not None:
+                    args = drain_head
                 continue  # output buffer filled; drain again
             if rc == -2:
                 raise ExcessBitsError
@@ -99,6 +107,7 @@ class NativeCompressor:
         return self._call(
             self._lib.tampn_comp_write, _u8(arr) if n else None,
             ctypes.c_int64(n),
+            drain_head=(None, ctypes.c_int64(0)),
         )
 
     def flush(self, write_token: bool = True) -> int:

@@ -137,3 +137,23 @@ def test_stream_excess_bits():
     with pytest.raises(tamp_tpu.ExcessBitsError):
         c.write(b"\xff")
         c.flush()
+
+
+def test_stream_large_incompressible_write(rng):
+    """A single write whose output exceeds the internal drain buffer must
+    not duplicate input (regression: OUTPUT_FULL retry re-passed the data)."""
+    import numpy as np
+
+    from tamp_tpu._native.stream import NativeCompressor
+
+    data = np.random.default_rng(7).integers(0, 256, 300000, dtype=np.uint8).tobytes()
+    out = io.BytesIO()
+    c = NativeCompressor(out)
+    c.write(data)
+    c.close()
+    assert bytes(tamp_tpu.decompress(out.getvalue())) == data
+    fp = io.BytesIO()
+    cp = tamp_tpu.Compressor(fp)
+    cp.write(data)
+    cp.close()
+    assert fp.getvalue() == out.getvalue()
