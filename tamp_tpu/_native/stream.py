@@ -111,6 +111,9 @@ class NativeCompressor:
         )
 
     def flush(self, write_token: bool = True) -> int:
+        # After write() returns, pending input is < one look-ahead (~16 B +
+        # token state), so flush/reset output always fits one drain buffer
+        # and their rc=1 retry path is unreachable through this wrapper.
         return self._call(self._lib.tampn_comp_flush, int(write_token))
 
     def reset_dictionary(self) -> int:

@@ -156,15 +156,20 @@ def compress_sharded(
     lazy_matching: bool = False,
     shard_size: int = DEFAULT_SHARD_SIZE,
     workers: int | None = None,
-    engine: str = "tables",
+    engine: str = "native",
 ) -> bytes:
     """Compress ``data`` as a TTPU container of independent Tamp streams.
 
-    ``engine="tables"`` routes each shard through the vectorized engine
-    (device search + host commit); ``engine="native"`` uses the standalone
-    C++ codec per shard.  Host work runs in a thread pool — the native codec
-    releases the GIL for the whole call via ctypes.
+    ``engine="native"`` (default, fastest) uses the standalone C++ codec
+    per shard; ``"tables"`` routes each shard through the vectorized engine
+    (search tables + native commit); ``"device"`` puts the search on the
+    TPU.  Host work runs in a thread pool — the native codec releases the
+    GIL for the whole call via ctypes.
     """
+    if workers is None:
+        import os
+
+        workers = (os.cpu_count() or 4) + 2
     from concurrent.futures import ThreadPoolExecutor
 
     data = bytes(data)
