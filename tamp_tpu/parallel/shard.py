@@ -137,7 +137,14 @@ def _encode_one_shard(args):
                 data, window=window, literal=literal, extended=extended,
                 lazy_matching=lazy,
             )
-        engine = "tables"
+        # No toolchain: the streaming Python codec beats the NumPy-oracle
+        # tables path by an order of magnitude.
+        from ..compressor import compress as py_compress
+
+        return py_compress(
+            bytes(data), window=window, literal=literal, extended=extended,
+            lazy_matching=lazy,
+        )
     from ..engine.encode import encode_v1
 
     if extended:
