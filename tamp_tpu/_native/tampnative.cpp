@@ -157,8 +157,8 @@ struct Committer {
   // there; matches cannot wrap), and the single pair that crosses the
   // write head (slot tau-1: newest byte followed by the oldest) is checked
   // explicitly in chain_search.
-  std::vector<int64_t> chead, cprev;
-  int64_t wpos = 0;
+  std::vector<int32_t> chead, cprev;  // int32 halves the cache footprint
+  int64_t wpos = 0;                   // (rebased before chains could wrap)
   // Run plan (planned-RLE mode): long input runs (>=9) are RLE'd at fixed
   // positions so their window-write truncations are part of the model the
   // tables were computed against (the "C-hat" history).  khat[t] = number of
@@ -212,11 +212,21 @@ struct Committer {
     if (pos != 0) {  // index the pair starting at the previous slot
       int key = ((int)ring[pos - 1] << 8) | b;
       cprev[pos - 1] = chead[key];
-      chead[key] = wpos - 1;
+      chead[key] = (int32_t)(wpos - 1);
     }
     ring[pos] = b;
     wpos++;
     if (++pos == W) pos = 0;
+    if (__builtin_expect(wpos >= 0x7F000000LL, 0)) rebase_chains();
+  }
+
+  // Keep chain entries within int32: subtract a large constant from wpos
+  // and every entry (expired entries clamp to -1).  Runs every ~2 GB.
+  void rebase_chains() {
+    const int64_t delta = 0x40000000LL;
+    wpos -= delta;
+    for (auto& v : chead) v = (v < delta) ? -1 : (int32_t)(v - delta);
+    for (auto& v : cprev) v = (v < delta) ? -1 : (int32_t)(v - delta);
   }
 
   void seed_chains() {  // after the dictionary fills ring[0..W)
@@ -225,7 +235,7 @@ struct Committer {
     for (int s = 0; s + 1 < W; s++) {
       int key = ((int)ring[s] << 8) | ring[s + 1];
       cprev[s] = chead[key];
-      chead[key] = s;
+      chead[key] = (int32_t)s;
     }
     wpos = W;
   }
