@@ -255,8 +255,9 @@ struct Committer {
       if (!maybe_tie) {
         if (best >= limit || room <= best) return;
         if (ring[x + best] != target[best]) return;  // cannot beat best
-      } else if (room < best) {
-        return;  // cannot even tie
+      } else {
+        if (room < best) return;                        // cannot even tie
+        if (ring[x + best - 1] != target[best - 1]) return;  // len < best
       }
       int mx = limit < room ? limit : room;
       int len = 2 + match_extent(ring.data() + x + 2, target + 2, mx - 2);
