@@ -54,21 +54,43 @@ def main() -> None:
     except ImportError:
         pass
 
-    # Probe each pipeline on a small slice, then time only the winner on
-    # the full corpus (the device pipeline is transfer-bound through this
-    # environment's tunnel and would waste the run).
-    probe = data[: 4 << 20]
+    # Probe each pipeline on a small slice in a killable subprocess (the
+    # device pipeline can stall for minutes through a flaky TPU tunnel and
+    # must never hang or contend with the timed run), then time only the
+    # winner on the full corpus.
+    import json as _json
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf:
+        tf.write(data[: 2 << 20])
+        probe_path = tf.name
+
+    probe_src = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+from tamp_tpu.parallel.shard import compress_sharded
+data = open({path!r}, 'rb').read()
+kw = json.loads(sys.argv[1])
+compress_sharded(data[: 1 << 19], shard_size=1 << 18, **kw)
+t0 = time.perf_counter()
+compress_sharded(data, shard_size=1 << 19, **kw)
+print(json.dumps(len(data) / (time.perf_counter() - t0)))
+""".format(root=os.path.dirname(os.path.abspath(__file__)), path=probe_path)
+
     best = None
     for name, kw in pipelines:
         try:
-            compress_sharded(probe[: 1 << 20], shard_size=1 << 19, **kw)  # warm
-            t0 = time.perf_counter()
-            compress_sharded(probe, shard_size=1 << 20, **kw)
-            rate = len(probe) / (time.perf_counter() - t0)
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src, _json.dumps(kw)],
+                capture_output=True, timeout=240, text=True,
+            )
+            rate = float(r.stdout.strip().splitlines()[-1])
         except Exception:
             continue
         if best is None or rate > best[1]:
             best = (name, rate, kw)
+    os.unlink(probe_path)
 
     name, _, kw = best
     t0 = time.perf_counter()
