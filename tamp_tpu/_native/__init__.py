@@ -144,6 +144,7 @@ def native_compress(
     from ..constants import compute_min_pattern_size
     from ..exceptions import ExcessBitsError
 
+    compute_min_pattern_size(window, literal)  # validates the config ranges
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = arr.shape[0]
     dict_arr = None

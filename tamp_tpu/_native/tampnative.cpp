@@ -813,6 +813,100 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
     }
   };
 
+  // FAST PATH.  With >=8 input bytes loadable and >=256 output bytes of
+  // slack, any single token (<=35 bits read, <=241 bytes written) decodes
+  // without per-field refill checks, token-rollback snapshots, or output
+  // bounds checks.  One bulk refill per token keeps acc at >=56 bits.
+  {
+    const int64_t in_guard = n - 8;     // pos_in <= in_guard => 8-byte load ok
+    const int64_t out_guard = out_cap - 256;
+    const uint32_t lit_mask = (1u << literal) - 1;
+    while (pos_in <= in_guard && o <= out_guard) {
+      int nb = (63 - bits) >> 3;
+      if (nb) {
+        uint64_t chunk;
+        std::memcpy(&chunk, in + pos_in, 8);
+        chunk = __builtin_bswap64(chunk);
+        acc = (acc << (nb * 8)) | (chunk >> (64 - nb * 8));
+        pos_in += nb;
+        bits += nb * 8;
+      }
+      if ((acc >> (bits - 1)) & 1) {  // literal
+        bits -= 1 + literal;
+        uint8_t b = (uint8_t)((acc >> bits) & lit_mask);
+        last_was_flush = false;
+        out[o++] = b;
+        ring[pos] = b;
+        pos = (pos + 1) & wmask;
+        continue;
+      }
+      bits -= 1;
+      uint32_t peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+      int sym = SYM_TAB[peek];
+      if (sym == 0xFF) return -3;
+      bits -= LEN_TAB[peek];
+      if (sym == FLUSH_SYM) {
+        bits &= ~7;  // discard padding to the byte boundary
+        if (more && last_was_flush) {  // double-FLUSH dictionary reset
+          init_dictionary(ring.data(), W, extended ? literal : 8);
+          pos = 0;
+        }
+        last_was_flush = true;
+        continue;
+      }
+      last_was_flush = false;
+      if (extended && sym > 11) {
+        peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+        int s2 = SYM_TAB[peek];
+        if (s2 == 0xFF) return -3;
+        bits -= LEN_TAB[peek];
+        if (sym == RLE_SYM) {
+          bits -= RLE_TRAIL;
+          int count = (s2 << RLE_TRAIL) +
+                      (int)((acc >> bits) & ((1u << RLE_TRAIL) - 1)) + 2;
+          uint8_t b = ring[(pos - 1) & wmask];
+          std::memset(out + o, b, (size_t)count);
+          o += count;
+          int wr = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+          if (wr > W - pos) wr = W - pos;
+          std::memset(&ring[pos], b, (size_t)wr);
+          pos = (pos + wr) & wmask;
+        } else {  // extended match (never wraps the window on write)
+          bits -= EXT_TRAIL;
+          int size = (s2 << EXT_TRAIL) +
+                     (int)((acc >> bits) & ((1u << EXT_TRAIL) - 1)) + minp + 12;
+          bits -= window;
+          int index = (int)((acc >> bits) & (uint32_t)wmask);
+          if (index + size > W) return -4;  // OOB window reference
+          std::memcpy(out + o, ring.data() + index, (size_t)size);
+          int wr = size < (W - pos) ? size : (W - pos);
+          std::memcpy(&ring[pos], out + o, (size_t)wr);
+          pos = (pos + wr) & wmask;
+          o += size;
+        }
+      } else {  // basic match, size <= minp+13 <= 16
+        int size = sym + minp;
+        bits -= window;
+        int index = (int)((acc >> bits) & (uint32_t)wmask);
+        if (index + size > W) return -4;  // OOB window reference
+        if (index + 16 <= W)
+          std::memcpy(out + o, ring.data() + index, 16);
+        else
+          std::memcpy(out + o, ring.data() + index, (size_t)size);
+        if (pos + size <= W) {
+          std::memcpy(&ring[pos], out + o, (size_t)size);
+          pos = (pos + size) & wmask;
+        } else {
+          for (int i = 0; i < size; i++) {
+            ring[pos] = out[o + i];
+            pos = (pos + 1) & wmask;
+          }
+        }
+        o += size;
+      }
+    }
+  }
+
   while (true) {
     if (!refill(1)) break;
     // Token-atomic: snapshot so a partial token at end-of-input rolls back.
@@ -834,7 +928,7 @@ int tampn_decompress(const uint8_t* in, int64_t n, const uint8_t* dict,
       int sym = read_sym();
       if (bad) return -3;
       if (sym == FLUSH_SYM) {
-        acc = 0; bits = 0;  // discard padding to the byte boundary
+        bits &= ~7;  // discard padding to the byte boundary
         if (more && last_was_flush) {  // double-FLUSH dictionary reset
           init_dictionary(ring.data(), W, extended ? literal : 8);
           pos = 0;
@@ -1132,6 +1226,103 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
   };
   uint8_t tmp[256];
 
+  // FAST PATH (mirrors tampn_decompress): with >=8 loadable input bytes and
+  // >=256 output slack no token needs refill checks, rollback snapshots,
+  // bounds checks, or the spill buffer.
+  if (s->spill.empty()) {
+    const int64_t in_guard = n - 8;
+    const int64_t out_guard = out_cap - 256;
+    const uint32_t lit_mask = (1u << literal) - 1;
+    const int window = s->window;
+    const bool extended = s->extended, more = s->more;
+    bool last_was_flush = s->last_was_flush;
+    while (pos_in <= in_guard && o <= out_guard) {
+      int nb = (63 - bits) >> 3;
+      if (nb) {
+        uint64_t chunk;
+        std::memcpy(&chunk, in + pos_in, 8);
+        chunk = __builtin_bswap64(chunk);
+        acc = (acc << (nb * 8)) | (chunk >> (64 - nb * 8));
+        pos_in += nb;
+        bits += nb * 8;
+      }
+      if ((acc >> (bits - 1)) & 1) {  // literal
+        bits -= 1 + literal;
+        uint8_t b = (uint8_t)((acc >> bits) & lit_mask);
+        last_was_flush = false;
+        out[o++] = b;
+        ring[pos] = b;
+        pos = (pos + 1) & wmask;
+        continue;
+      }
+      bits -= 1;
+      uint32_t peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+      int sym = SYM_TAB[peek];
+      if (sym == 0xFF) { s->bad = true; return -3; }
+      bits -= LEN_TAB[peek];
+      if (sym == FLUSH_SYM) {
+        bits &= ~7;  // discard padding to the byte boundary
+        if (more && last_was_flush) {
+          init_dictionary(ring, W, extended ? literal : 8);
+          pos = 0;
+        }
+        last_was_flush = true;
+        continue;
+      }
+      last_was_flush = false;
+      if (extended && sym > 11) {
+        peek = (uint32_t)(acc >> (bits - 8)) & 0xFF;
+        int s2 = SYM_TAB[peek];
+        if (s2 == 0xFF) { s->bad = true; return -3; }
+        bits -= LEN_TAB[peek];
+        if (sym == RLE_SYM) {
+          bits -= RLE_TRAIL;
+          int count = (s2 << RLE_TRAIL) +
+                      (int)((acc >> bits) & ((1u << RLE_TRAIL) - 1)) + 2;
+          uint8_t b = ring[(pos - 1) & wmask];
+          std::memset(out + o, b, (size_t)count);
+          o += count;
+          int wr = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+          if (wr > W - pos) wr = W - pos;
+          std::memset(&ring[pos], b, (size_t)wr);
+          pos = (pos + wr) & wmask;
+        } else {  // extended match (never wraps on window write)
+          bits -= EXT_TRAIL;
+          int size = (s2 << EXT_TRAIL) +
+                     (int)((acc >> bits) & ((1u << EXT_TRAIL) - 1)) + minp + 12;
+          bits -= window;
+          int index = (int)((acc >> bits) & (uint32_t)wmask);
+          if (index + size > W) { s->bad = true; return -4; }
+          std::memcpy(out + o, ring + index, (size_t)size);
+          int wr = size < (W - pos) ? size : (W - pos);
+          std::memcpy(ring + pos, out + o, (size_t)wr);
+          pos = (pos + wr) & wmask;
+          o += size;
+        }
+      } else {  // basic match, size <= minp+13 <= 16
+        int size = sym + minp;
+        bits -= window;
+        int index = (int)((acc >> bits) & (uint32_t)wmask);
+        if (index + size > W) { s->bad = true; return -4; }
+        if (index + 16 <= W)
+          std::memcpy(out + o, ring + index, 16);
+        else
+          std::memcpy(out + o, ring + index, (size_t)size);
+        if (pos + size <= W) {
+          std::memcpy(ring + pos, out + o, (size_t)size);
+          pos = (pos + size) & wmask;
+        } else {
+          for (int i = 0; i < size; i++) {
+            ring[pos] = out[o + i];
+            pos = (pos + 1) & wmask;
+          }
+        }
+        o += size;
+      }
+    }
+    s->last_was_flush = last_was_flush;
+  }
+
   while (s->spill.empty()) {
     if (!refill(1)) break;
     uint64_t s_acc = acc; int s_bits = bits; int64_t s_pos = pos_in;
@@ -1148,7 +1339,7 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
     if (bad) { s->bad = true; return -3; }
     if (sym < 0) { acc = s_acc; bits = s_bits; pos_in = s_pos; break; }
     if (sym == FLUSH_SYM) {
-      acc = 0; bits = 0;
+      bits &= ~7;  // discard padding to the byte boundary
       if (s->more && s->last_was_flush) {
         init_dictionary(ring, W, s->extended ? literal : 8);
         pos = 0;

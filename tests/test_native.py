@@ -126,6 +126,17 @@ def test_native_excess_bits():
         _native.native_compress(b"\xff", literal=7)
 
 
+def test_invalid_config_rejected_before_native_dispatch():
+    """The reference validates window in [8,15] / literal in [5,8]
+    (tamp/_c_src/tamp/compressor.c:207-209); the native fast path must not
+    silently wrap out-of-range values into the header bits."""
+    for kw in ({"window": 7}, {"window": 16}, {"literal": 4}, {"literal": 9}):
+        with pytest.raises(ValueError):
+            tamp_tpu.compress(b"x", **kw)
+        with pytest.raises(ValueError):
+            _native.native_compress(b"x", **kw)
+
+
 def test_native_decoder_handles_garbage():
     for blob in (b"\xff\xff\xff", b"\x01", bytes(range(64))):
         try:
