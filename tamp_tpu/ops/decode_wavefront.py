@@ -11,13 +11,18 @@ static-shaped array op over the whole payload, so XLA tiles it onto the
 VPU and the wall-clock scales with payload size, not token count:
 
 1. **Speculative per-bit parse** — for all ``8*L`` bit offsets at once,
-   decode the token that *would* start there (pure table gathers; reference
-   token grammar: tamp/_c_src/tamp/decompressor.c decode_huffman /
-   decode_rle / decode_extended_match).
+   decode the token that *would* start there, gather-free: 64-bit windows
+   per offset from static slices, variable vector shifts for the fields,
+   and 15 prefix compares for the (complete) Huffman code (reference token
+   grammar: tamp/_c_src/tamp/decompressor.c decode_huffman / decode_rle /
+   decode_extended_match).
 2. **Boundary resolution** — the real token starts are the orbit of the
-   per-bit jump pointer from bit 0, computed with log2 rounds of
-   scatter-OR pointer doubling (``reach |= reach @ J;  J = J[J]``).
-3. **Placement** — per-token output counts -> exclusive prefix sum.
+   per-bit jump pointer from bit 0: blocked pointer doubling computes each
+   bit's block exit in ~5 rounds of flat 1-D gathers, a length-``nblk``
+   scan chains block entries, and two short lockstep walks enumerate each
+   block's tokens into a compact table (see ``_token_table``).
+3. **Placement** — per-token output counts -> exclusive prefix sum; the
+   emitting token per output byte via scatter + running max.
 4. **Window-write fold** — per-token window-write counts are loop-carried
    only through the *truncation* of RLE (<= 8 bytes, no ring wrap) and
    extended-match (no wrap) writes.  The fold is recast as: untruncated
@@ -73,51 +78,83 @@ ERR_OK, ERR_INVALID, ERR_OOB, ERR_OVERFLOW, ERR_SEGKEY = 0, 1, 2, 3, 4
 I32MAX = np.int32(2**31 - 1)
 
 
-@functools.lru_cache(maxsize=1)
-def _peek_tables():
-    sym = np.full(256, -1, np.int32)
-    ln = np.zeros(256, np.int32)
-    for s in range(15):
-        nb = HUFFMAN_LENGTHS[s] - 1  # code bits after the 1-bit flag
-        base = HUFFMAN_CODES[s] << (8 - nb)
-        sym[base : base + (1 << (8 - nb))] = s
-        ln[base : base + (1 << (8 - nb))] = nb
-    return sym, ln  # numpy: converted per-trace at the use site
+def _bit_windows(pp32, NBP: int):
+    """(w0, w1): bits [b, b+32) and [b+32, b+64) for every bit offset b.
 
-
-def _bits_at(pp32, b, m: int):
-    """m (static, <=16) bits at bit offset ``b`` (MSB-first), zero-padded.
-
-    ``pp32``: payload bytes as uint32, padded with >=8 zero bytes so byte
-    gathers stay in-array for every peek offset reachable from b < 8*L.
+    Gather-free: built from static byte-array slices and an 8-way static
+    unroll over the sub-byte phase, so XLA lowers it to pure elementwise
+    VPU work (TPU gathers are the expensive op to avoid).  ``pp32`` is the
+    payload as uint32 with >= 8 zero pad bytes (length L + 8).
     """
-    i = b >> 3
-    r = (b & 7).astype(jnp.uint32)
-    w32 = (
-        (pp32[i] << 24) | (pp32[i + 1] << 16) | (pp32[i + 2] << 8) | pp32[i + 3]
+    L = NBP // 8
+    V = (
+        (pp32[0 : L + 4] << 24) | (pp32[1 : L + 5] << 16)
+        | (pp32[2 : L + 6] << 8) | pp32[3 : L + 7]
     )
-    # left-align bit b at the MSB; (byte >> 8) == 0 covers the r == 0 lane
-    hi = (w32 << r) | (pp32[i + 4] >> (jnp.uint32(8) - r))
-    return (hi >> jnp.uint32(32 - m)).astype(jnp.int32)
+    tail0 = pp32[4 : L + 4]   # byte just past w0's aligned word, per i < L
+    V4 = V[4 : L + 4]         # aligned word 4 bytes later (bits [b+32, ...))
+    tail1 = pp32[8 : L + 8]
+    w0_phases = []
+    w1_phases = []
+    for r in range(8):
+        if r == 0:
+            w0_phases.append(V[:L])
+            w1_phases.append(V4)
+        else:
+            w0_phases.append((V[:L] << r) | (tail0 >> (8 - r)))
+            w1_phases.append((V4 << r) | (tail1 >> (8 - r)))
+    w0 = jnp.stack(w0_phases, axis=1).reshape(NBP)
+    w1 = jnp.stack(w1_phases, axis=1).reshape(NBP)
+    return w0, w1
+
+
+def _field(w0, w1, k, m: int):
+    """m (static, <=16) bits at relative bit offset ``k`` (vector, 0..31)
+    within the 64-bit window (w0, w1) — variable vector shifts, no gathers."""
+    k = k.astype(jnp.uint32)
+    aligned = (w0 << k) | ((w1 >> jnp.uint32(1)) >> (jnp.uint32(31) - k))
+    return (aligned >> jnp.uint32(32 - m)).astype(jnp.int32)
+
+
+def _decode_symbol(pk):
+    """Symbol + code length from an 8-bit MSB-aligned peek, arithmetically.
+
+    The shipped table is a complete prefix code (Kraft sum 1), so exactly
+    one codeword prefixes any 8-bit value; 15 vector compares beat a table
+    gather on TPU."""
+    s_out = jnp.zeros_like(pk)
+    n_out = jnp.zeros_like(pk)
+    for s in range(15):
+        nb = HUFFMAN_LENGTHS[s] - 1
+        hit = (pk >> (8 - nb)) == HUFFMAN_CODES[s]
+        s_out = jnp.where(hit, s, s_out)
+        n_out = jnp.where(hit, nb, n_out)
+    return s_out, n_out
 
 
 def _speculative_parse(pp32, nb_valid, NBP: int, window: int, literal: int,
                        extended: bool):
-    """Per-bit token parse over all NBP bit offsets (dense gathers)."""
-    sym_np, len_np = _peek_tables()
-    SYM, LEN = jnp.asarray(sym_np), jnp.asarray(len_np)
-    minp = compute_min_pattern_size(window, literal)
+    """Per-bit token parse over all NBP bit offsets — gather-free.
 
+    Every token field lives within 41 bits of its start (flag + 9-bit
+    symbol + 9-bit symbol + 4 trailing + 15-bit offset), so a 64-bit
+    window per bit offset (built once, gather-free) plus variable vector
+    shifts decodes everything elementwise.
+    """
+    minp = compute_min_pattern_size(window, literal)
+    w0, w1 = _bit_windows(pp32, NBP)
     b = jnp.arange(NBP, dtype=jnp.int32)
-    flag = _bits_at(pp32, b, 1)
+
+    flag = (w0 >> jnp.uint32(31)).astype(jnp.int32)
+    k0 = jnp.zeros(NBP, jnp.int32)
 
     lit_end = b + 1 + literal
-    lit_val = _bits_at(pp32, b + 1, literal)
+    lit_val = _field(w0, w1, k0 + 1, literal)
 
-    pk1 = _bits_at(pp32, b + 1, 8)
-    s1 = SYM[pk1]
-    n1 = LEN[pk1]
+    pk1 = _field(w0, w1, k0 + 1, 8)
+    s1, n1 = _decode_symbol(pk1)
     after1 = b + 1 + n1
+    k_after1 = 1 + n1
 
     is_flush = s1 == FLUSH_SYMBOL
     if extended:
@@ -127,23 +164,24 @@ def _speculative_parse(pp32, nb_valid, NBP: int, window: int, literal: int,
         is_rle = jnp.zeros(NBP, bool)
         is_ext = jnp.zeros(NBP, bool)
 
-    pk2 = _bits_at(pp32, after1, 8)
-    s2 = SYM[pk2]
-    n2 = LEN[pk2]
+    pk2 = _field(w0, w1, k_after1, 8)
+    s2, n2 = _decode_symbol(pk2)
     after2 = after1 + n2
+    k_after2 = k_after1 + n2
 
-    rle_cnt = (s2 << RLE_TRAILING_BITS) + _bits_at(pp32, after2, RLE_TRAILING_BITS) + 2
+    rle_cnt = (s2 << RLE_TRAILING_BITS) + _field(
+        w0, w1, k_after2, RLE_TRAILING_BITS) + 2
     rle_end = after2 + RLE_TRAILING_BITS
 
     ext_sz = (
         (s2 << EXTENDED_MATCH_TRAILING_BITS)
-        + _bits_at(pp32, after2, EXTENDED_MATCH_TRAILING_BITS)
+        + _field(w0, w1, k_after2, EXTENDED_MATCH_TRAILING_BITS)
         + minp + 12
     )
-    ext_idx = _bits_at(pp32, after2 + EXTENDED_MATCH_TRAILING_BITS, window)
+    ext_idx = _field(w0, w1, k_after2 + EXTENDED_MATCH_TRAILING_BITS, window)
     ext_end = after2 + EXTENDED_MATCH_TRAILING_BITS + window
 
-    bm_idx = _bits_at(pp32, after1, window)
+    bm_idx = _field(w0, w1, k_after1, window)
     bm_end = after1 + window
     bm_sz = s1 + minp
 
@@ -166,26 +204,76 @@ def _speculative_parse(pp32, nb_valid, NBP: int, window: int, literal: int,
              jnp.where(is_rle, 0,
               jnp.where(is_ext, ext_idx, bm_idx))).astype(jnp.int32)
 
-    invalid = (~lit & (s1 < 0)) | ((is_rle | is_ext) & (s2 < 0))
+    # the shipped code is complete (every 8-bit peek resolves to a symbol),
+    # so no bit pattern is undecodable; kept for structural parity with the
+    # oracle, where the same property makes its table fully populated
+    invalid = jnp.zeros(NBP, bool)
     incomplete = jnp.where(is_flush, after1 > nb_valid, end > nb_valid)
     incomplete = incomplete | (b >= nb_valid)
     nxt = jnp.where(invalid | incomplete, NBP, end).astype(jnp.int32)
     return nxt, kind, f_cnt, f_idx, invalid, incomplete
 
 
-def _reach_from_zero(nxt, NBP: int):
-    """Boolean orbit of ``nxt`` from bit 0 via scatter-OR pointer doubling."""
-    J = jnp.concatenate([nxt, jnp.asarray([NBP], jnp.int32)])
-    reach = jnp.zeros(NBP + 1, jnp.int32).at[0].set(1)
-    rounds = max(1, int(math.ceil(math.log2(max(NBP, 2)))) + 1)
+BLOCK_BITS = 256  # chase block; any token (<= 41 bits) exits into block i+1
 
-    def body(_, carry):
-        J, reach = carry
-        hop = jnp.zeros_like(reach).at[J].max(reach, mode="drop")
-        return J[J], jnp.maximum(reach, hop)
 
-    J, reach = lax.fori_loop(0, rounds, body, (J, reach))
-    return reach[:NBP] > 0
+def _token_table(nxt, incomplete, NBP: int, literal: int, T_max: int):
+    """Token starts (compacted into a T_max table) + token count.
+
+    Gather-only blocked boundary resolution: (1) pointer doubling on the
+    flat jump array computes each bit's exit — the first orbit position
+    past its block — in ceil(log2(tokens-per-block)) rounds of 1-D gathers
+    (flat gathers lower ~4x faster than take_along_axis on TPU); (2) a
+    length-nblk scan chases block entries (every token is <= 41 bits, so
+    an exit always lands in the very next block); (3) two short lockstep
+    walks over all blocks enumerate each block's <= B/(1+literal) tokens:
+    one counts (giving each block's slot base by prefix sum), one writes
+    starts into the table.  The trailing incomplete token is dropped
+    (sequential decoders roll it back; positions >= the valid payload end
+    are incomplete by parse).
+    """
+    B = BLOCK_BITS
+    nblk = NBP // B
+    pos_end = ((jnp.arange(NBP, dtype=jnp.int32) >> int(math.log2(B))) + 1) * B
+    max_hops = B // (1 + literal) + 2
+    ex = nxt
+    for _ in range(int(math.ceil(math.log2(max_hops)))):
+        inside = ex < pos_end
+        hop = ex[jnp.clip(ex, 0, NBP - 1)]
+        ex = jnp.where(inside, hop, ex)
+
+    def entry_body(p, ex_row):
+        has = p < NBP
+        nxt_p = jnp.where(has, ex_row[jnp.clip(p % B, 0, B - 1)], NBP)
+        return nxt_p, jnp.where(has, p, NBP)
+
+    _, entries = lax.scan(entry_body, jnp.int32(0), ex.reshape(nblk, B))
+
+    lim = (jnp.arange(nblk, dtype=jnp.int32) + 1) * B
+    walk_steps = B // (1 + literal) + 2
+
+    def walk(c, step_fn, state):
+        for _ in range(walk_steps):
+            in_blk = c < lim
+            ok = in_blk & ~incomplete[jnp.clip(c, 0, NBP - 1)]
+            state = step_fn(state, c, ok)
+            c = jnp.where(in_blk, nxt[jnp.clip(c, 0, NBP - 1)], c)
+        return state
+
+    counts = walk(entries,
+                  lambda s, c, ok: s + ok.astype(jnp.int32),
+                  jnp.zeros(nblk, jnp.int32))
+    cs = jnp.cumsum(counts)
+    base = cs - counts
+    T = cs[nblk - 1]
+
+    def write(state, c, ok):
+        starts, k = state
+        starts = starts.at[jnp.where(ok, k, T_max)].set(c, mode="drop")
+        return starts, k + ok.astype(jnp.int32)
+
+    starts, _ = walk(entries, write, (jnp.zeros(T_max, jnp.int32), base))
+    return starts, T
 
 
 def _seg_base(values, resets, seg, n_seg_max: int):
@@ -210,21 +298,10 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
 
     nxt, kind_b, cnt_b, idx_b, invalid_b, incomplete_b = _speculative_parse(
         pp32, nb_valid, NBP, window, literal, extended)
+    del invalid_b  # the complete prefix code leaves no undecodable pattern
 
-    reach = _reach_from_zero(nxt, NBP)
-    b_iota = jnp.arange(NBP, dtype=jnp.int32)
-    reach = reach & (b_iota < nb_valid)
-
-    err = jnp.where(jnp.any(reach & invalid_b), ERR_INVALID, ERR_OK)
-
-    # token starts, compacted into a T_max table (incomplete tail dropped —
-    # the sequential decoders roll it back)
-    is_start = reach & ~invalid_b & ~incomplete_b
-    tok_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    T = jnp.sum(is_start.astype(jnp.int32))
-    starts = jnp.zeros(T_max, jnp.int32).at[
-        jnp.where(is_start, tok_id, T_max)
-    ].set(b_iota, mode="drop")
+    err = jnp.int32(ERR_OK)
+    starts, T = _token_table(nxt, incomplete_b, NBP, literal, T_max)
 
     active = jnp.arange(T_max, dtype=jnp.int32) < T
     tk = jnp.where(active, kind_b[starts], K_PAD)
@@ -291,22 +368,17 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
     wr = w_unc - defs           # actual per-token window writes (unused below
     del wr                      # but defines the semantics; A already folds it)
 
-    # keyed (per-segment) monotone write positions for ownership searches.
-    # int32 budget: keys must stay below 2**31 even with many resets.
-    BIG = W + max_out + 2
-    n_seg = seg[T_max - 1] + 1
-    err = jnp.where(
-        (err == ERR_OK) & ((n_seg.astype(jnp.float32) + 1.0) * float(BIG) >= 2.0**31),
-        ERR_SEGKEY, err)
-    A_key = jnp.where(active, A + seg * BIG, I32MAX)
-
     # ---- per-output-byte source links -------------------------------------
     obyte = jnp.arange(max_out, dtype=jnp.int32)
     valid_b = obyte < out_len
-    # out_start for padded tokens == final cumsum >= out_len, so the
-    # 'right'-1 search lands on the emitting token for every valid byte
-    tok_of = jnp.searchsorted(out_start, obyte, side="right").astype(jnp.int32) - 1
-    tok_of = jnp.clip(tok_of, 0, T_max - 1)
+    # emitting token of byte x = the max token id whose out_start <= x:
+    # scatter ids at their out_start, then a running max (zero-count tokens
+    # before an emitter share its out_start but have smaller ids; tokens
+    # after start strictly later)
+    tok_of = jnp.zeros(max_out, jnp.int32).at[
+        jnp.where(active, out_start, max_out)
+    ].max(jnp.arange(T_max, dtype=jnp.int32), mode="drop")
+    tok_of = lax.cummax(tok_of)
     off = obyte - out_start[tok_of]
     kb = tk[tok_of]
 
@@ -329,19 +401,46 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
     src = jnp.where(from_dict, -(dict_val.astype(jnp.int32) + 1), src)
 
     from_out = need & (a >= W)
-    a_key = jnp.where(from_out, a + seg_of * BIG, jnp.int32(0))
-    own = jnp.searchsorted(A_key, a_key, side="right").astype(jnp.int32) - 1
-    own = jnp.clip(own, 0, T_max - 1)
+    if not more:
+        # single segment: the write stream [W, W + out_len) is dense, so the
+        # owning token (max id with A <= a) is one scatter + running max +
+        # one gather — no binary search
+        DOM = W + max_out
+        ownmap = jnp.zeros(DOM, jnp.int32).at[
+            jnp.where(active, jnp.minimum(A, DOM), DOM)
+        ].max(jnp.arange(T_max, dtype=jnp.int32), mode="drop")
+        ownmap = lax.cummax(ownmap)
+        own = ownmap[jnp.clip(a, 0, DOM - 1)]
+    else:
+        # keyed (per-segment) monotone write positions; int32 budget: keys
+        # must stay below 2**31 even with many double-FLUSH resets
+        BIG = W + max_out + 2
+        n_seg = seg[T_max - 1] + 1
+        err = jnp.where(
+            (err == ERR_OK)
+            & ((n_seg.astype(jnp.float32) + 1.0) * float(BIG) >= 2.0**31),
+            ERR_SEGKEY, err)
+        A_key = jnp.where(active, A + seg * BIG, I32MAX)
+        a_key = jnp.where(from_out, a + seg_of * BIG, jnp.int32(0))
+        own = jnp.searchsorted(A_key, a_key, side="right").astype(jnp.int32) - 1
+        own = jnp.clip(own, 0, T_max - 1)
     src = jnp.where(from_out, out_start[own] + (a - A[own]), src)
 
     # ---- pointer-doubling value resolution ---------------------------------
+    # early exit: text chains resolve in a handful of rounds; the bound
+    # covers the worst case (chains strictly decrease, doubling halves)
     rounds = max(1, int(math.ceil(math.log2(max(max_out, 2)))) + 1)
 
-    def pd_body(_, src):
-        tgt = src[jnp.clip(src, 0, max_out - 1)]
-        return jnp.where(src >= 0, tgt, src)
+    def pd_cond(st):
+        i, src = st
+        return (i < rounds) & jnp.any(src >= 0)
 
-    src = lax.fori_loop(0, rounds, pd_body, src)
+    def pd_body(st):
+        i, src = st
+        tgt = src[jnp.clip(src, 0, max_out - 1)]
+        return i + 1, jnp.where(src >= 0, tgt, src)
+
+    _, src = lax.while_loop(pd_cond, pd_body, (jnp.int32(0), src))
     out = jnp.where(valid_b, -src - 1, 0)
     return out, out_len, err
 

@@ -234,11 +234,16 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
     return out
 
 
-def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE) -> bytearray:
-    """Decode a TTPU container on the device: all shards token-parsed in
-    lockstep by the vmapped JAX decoder (ops.decode_jax)."""
-    from ..ops.decode_jax import decode_shards_device
+def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE,
+                              algorithm: str = "wavefront") -> bytearray:
+    """Decode a TTPU container on the device.
 
+    ``algorithm="wavefront"`` (default): every decode stage is a dense
+    static-shaped array op (ops.decode_wavefront) — per-bit speculative
+    parse, pointer-doubling boundary/value resolution.
+    ``algorithm="serial"``: the vmapped token-serial JAX decoder
+    (ops.decode_jax), kept as a second independent device implementation.
+    """
     if blob[:4] != MAGIC:
         raise ValueError("not a TTPU container")
     ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
@@ -251,7 +256,16 @@ def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE)
     for sz in sizes:
         pieces.append(blob[off : off + sz])
         off += sz
-    outs = decode_shards_device(pieces, max_out=shard_size)
+    if algorithm == "wavefront":
+        from ..ops.decode_wavefront import decode_shards_wavefront
+
+        outs = decode_shards_wavefront(pieces, max_out=shard_size)
+    elif algorithm == "serial":
+        from ..ops.decode_jax import decode_shards_device
+
+        outs = decode_shards_device(pieces, max_out=shard_size)
+    else:
+        raise ValueError(f"unknown device decode algorithm: {algorithm!r}")
     out = bytearray()
     for d in outs:
         out += d

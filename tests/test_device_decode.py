@@ -67,7 +67,9 @@ def test_device_decode_container(rng):
 
     data = bytes(rng.choice(b"tampa bay buccaneers ") for _ in range(60000))
     blob = compress_sharded(data, shard_size=4096, engine="native")
-    assert bytes(decompress_sharded_device(blob, shard_size=4096)) == data
+    for algorithm in ("wavefront", "serial"):
+        got = decompress_sharded_device(blob, shard_size=4096, algorithm=algorithm)
+        assert bytes(got) == data
 
 
 def test_device_decode_custom_dictionary(rng):
