@@ -228,3 +228,41 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
 
             raise OutOfBoundsError("window reference outside the window")
         raise ValueError(f"invalid tamp stream (native rc={rc})")
+
+
+def native_decompress_into(data: bytes, out, *,
+                           dictionary: bytes | None = None) -> int:
+    """Decode directly into a caller-provided writable buffer.
+
+    ``out`` is a uint8 NumPy array (or any writable buffer); the stream
+    must fit — there is no grow-and-retry.  Returns the byte count written.
+    This is the zero-copy path the sharded container decoder uses: every
+    worker decodes its shard straight into its slice of the final output
+    (the reference's closest analogue is decompressing into a user buffer
+    via ``tamp_decompressor_decompress``, tamp/_c_src/tamp/decompressor.c).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    dict_arr = (
+        np.frombuffer(bytes(dictionary), dtype=np.uint8)
+        if dictionary is not None else None
+    )
+    if not isinstance(out, np.ndarray):
+        out = np.frombuffer(out, dtype=np.uint8)
+    out_len = ctypes.c_int64(0)
+    rc = lib.tampn_decompress(
+        _u8p(arr), arr.shape[0],
+        _u8p(dict_arr), 0 if dict_arr is None else dict_arr.shape[0],
+        _u8p(out), out.shape[0], ctypes.byref(out_len),
+    )
+    if rc == 0:
+        return out_len.value
+    if rc == 1:
+        raise ValueError("decoded stream exceeds the provided buffer")
+    if rc == -4:
+        from ..exceptions import OutOfBoundsError
+
+        raise OutOfBoundsError("window reference outside the window")
+    raise ValueError(f"invalid tamp stream (native rc={rc})")

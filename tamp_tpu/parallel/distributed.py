@@ -67,7 +67,7 @@ def compress_distributed(
     """
     import jax
 
-    from .shard import MAGIC, compress_sharded
+    from .shard import _pack_frame, compress_sharded
 
     if jax.process_count() == 1:
         return compress_sharded(
@@ -105,6 +105,4 @@ def compress_distributed(
         row = gathered[owner, i]
         (ln,) = struct.unpack("<Q", row[:8].tobytes())
         blobs.append(row[8 : 8 + ln].tobytes())
-    head = MAGIC + struct.pack("<BBIQ", 1, 0, len(blobs), len(data))
-    sizes = struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
-    return head + sizes + b"".join(blobs)
+    return _pack_frame(blobs, len(data), shard_size)

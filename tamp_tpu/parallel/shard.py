@@ -33,6 +33,36 @@ MAGIC = b"TTPU"
 DEFAULT_SHARD_SIZE = 1 << 20
 
 
+def _pack_frame(blobs, raw_size: int, shard_size: int) -> bytes:
+    """TTPU v2 frame: records shard_size so decoders can place every
+    shard's output at ``i * shard_size`` without decoding in order."""
+    head = MAGIC + struct.pack("<BBIQQ", 2, 0, len(blobs), raw_size, shard_size)
+    sizes = struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
+    return head + sizes + b"".join(blobs)
+
+
+def _parse_frame(blob):
+    """-> (raw_size, shard_size | None, pieces).  Reads v1 (no shard_size)
+    and v2 frames."""
+    if blob[:4] != MAGIC:
+        raise ValueError("not a TTPU container")
+    ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
+    off = 4 + 14
+    shard_size = None
+    if ver == 2:
+        (shard_size,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+    elif ver != 1:
+        raise ValueError(f"unsupported TTPU version {ver}")
+    sizes = struct.unpack_from(f"<{n}I", blob, off)
+    off += 4 * n
+    pieces = []
+    for sz in sizes:
+        pieces.append(blob[off : off + sz])
+        off += sz
+    return raw_size, shard_size, pieces
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "dp"):
     """A 1-D device mesh for data-parallel stream compression."""
     import jax
@@ -188,35 +218,49 @@ def compress_sharded(
     else:
         blobs = [_encode_one_shard(j) for j in jobs]
 
-    head = MAGIC + struct.pack("<BBIQ", 1, 0, len(blobs), len(data))
-    sizes = struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
-    return head + sizes + b"".join(blobs)
+    return _pack_frame(blobs, len(data), shard_size)
 
 
 def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
     """Decode a TTPU container (shards decoded independently, in order;
-    decoded in parallel through the native decoder when available)."""
-    if blob[:4] != MAGIC:
-        raise ValueError("not a TTPU container")
-    ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
-    if ver != 1:
-        raise ValueError(f"unsupported TTPU version {ver}")
-    off = 4 + 14
-    sizes = struct.unpack_from(f"<{n}I", blob, off)
-    off += 4 * n
-    pieces = []
-    for sz in sizes:
-        pieces.append(blob[off : off + sz])
-        off += sz
+    decoded in parallel through the native decoder when available).
+
+    v2 containers decode zero-copy: one output buffer is allocated up
+    front and every worker's native decoder writes its shard directly
+    into its ``i * shard_size`` slice (ordered gather with no
+    concatenation pass)."""
+    raw_size, shard_size, pieces = _parse_frame(blob)
 
     from .. import _native
 
-    if _native.available():
-        decode = _native.native_decompress
-        if workers is None:
-            import os
+    if workers is None:
+        import os
 
-            workers = os.cpu_count()
+        workers = os.cpu_count()
+
+    if _native.available() and shard_size is not None:
+        out = bytearray(raw_size)
+        view = np.frombuffer(out, dtype=np.uint8)
+
+        def job(i: int) -> None:
+            start = i * shard_size
+            end = min(start + shard_size, raw_size)
+            got = _native.native_decompress_into(pieces[i], view[start:end])
+            if got != end - start:
+                raise ValueError("container raw-size mismatch")
+
+        if workers and len(pieces) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(job, range(len(pieces))))
+        else:
+            for i in range(len(pieces)):
+                job(i)
+        return out
+
+    if _native.available():
+        decode = _native.native_decompress  # v1 frame: sizes unknown up front
     else:
         from ..decompressor import decompress as decode
     if workers and len(pieces) > 1:
@@ -234,7 +278,7 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
     return out
 
 
-def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE,
+def decompress_sharded_device(blob: bytes, shard_size: int | None = None,
                               algorithm: str = "wavefront") -> bytearray:
     """Decode a TTPU container on the device.
 
@@ -243,19 +287,15 @@ def decompress_sharded_device(blob: bytes, shard_size: int = DEFAULT_SHARD_SIZE,
     parse, pointer-doubling boundary/value resolution.
     ``algorithm="serial"``: the vmapped token-serial JAX decoder
     (ops.decode_jax), kept as a second independent device implementation.
+
+    ``shard_size`` (the per-shard output bound) comes from the v2 frame;
+    pass it explicitly only for v1 containers.
     """
-    if blob[:4] != MAGIC:
-        raise ValueError("not a TTPU container")
-    ver, _res, n, raw_size = struct.unpack_from("<BBIQ", blob, 4)
-    if ver != 1:
-        raise ValueError(f"unsupported TTPU version {ver}")
-    off = 4 + 14
-    sizes = struct.unpack_from(f"<{n}I", blob, off)
-    off += 4 * n
-    pieces = []
-    for sz in sizes:
-        pieces.append(blob[off : off + sz])
-        off += sz
+    raw_size, frame_shard_size, pieces = _parse_frame(blob)
+    if shard_size is None:
+        shard_size = frame_shard_size
+    if shard_size is None:
+        shard_size = DEFAULT_SHARD_SIZE  # v1 frame without a caller bound
     if algorithm == "wavefront":
         from ..ops.decode_wavefront import decode_shards_wavefront
 

@@ -1,0 +1,76 @@
+"""TTPU container frame tests: v2 round-trip (zero-copy ordered gather),
+v1 back-compat, partial last shard, decode-into semantics, and corruption
+errors.  The container is the data-parallel scaling layer (SURVEY.md §2.8);
+the Tamp spec itself delegates framing to the container
+(reference docs/source/specification.rst "Flushing")."""
+
+import struct
+
+import pytest
+
+import tamp_tpu
+from tamp_tpu import _native
+from tamp_tpu.parallel import shard
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason=f"native unavailable: {_native.load_error()}"
+)
+
+
+def _corpus(rng, n):
+    return bytes(rng.choice(b"the quick brown fox jumps over \x00\xff") for _ in range(n))
+
+
+def test_v2_roundtrip_and_partial_last_shard(rng):
+    for n in (0, 1, 4095, 4096, 4097, 50000):
+        data = _corpus(rng, n)
+        blob = shard.compress_sharded(data, shard_size=4096)
+        raw, ss, pieces = shard._parse_frame(blob)
+        assert raw == n and ss == 4096
+        assert bytes(shard.decompress_sharded(blob)) == data
+        assert bytes(shard.decompress_sharded(blob, workers=1)) == data
+
+
+def test_v1_frame_back_compat(rng):
+    data = _corpus(rng, 30000)
+    blob = shard.compress_sharded(data, shard_size=8192)
+    raw, _ss, pieces = shard._parse_frame(blob)
+    head = shard.MAGIC + struct.pack("<BBIQ", 1, 0, len(pieces), raw)
+    v1 = head + struct.pack(f"<{len(pieces)}I", *(len(b) for b in pieces)) \
+        + b"".join(pieces)
+    assert bytes(shard.decompress_sharded(v1)) == data
+    # device decode of a v1 frame needs the caller-supplied bound
+    assert bytes(shard.decompress_sharded_device(v1, shard_size=8192)) == data
+
+
+def test_v2_device_decode_needs_no_shard_size(rng):
+    data = _corpus(rng, 20000)
+    blob = shard.compress_sharded(data, shard_size=4096)
+    assert bytes(shard.decompress_sharded_device(blob)) == data
+
+
+def test_decompress_into(rng):
+    import numpy as np
+
+    data = _corpus(rng, 9000)
+    comp = tamp_tpu.compress(data)
+    out = np.zeros(len(data), np.uint8)
+    n = _native.native_decompress_into(comp, out)
+    assert n == len(data) and out.tobytes() == data
+    small = np.zeros(100, np.uint8)
+    with pytest.raises(ValueError):
+        _native.native_decompress_into(comp, small)
+
+
+def test_container_errors(rng):
+    data = _corpus(rng, 10000)
+    blob = bytearray(shard.compress_sharded(data, shard_size=4096))
+    with pytest.raises(ValueError):
+        shard.decompress_sharded(b"NOPE" + bytes(blob[4:]))
+    bad_ver = bytearray(blob)
+    bad_ver[4] = 9
+    with pytest.raises(ValueError):
+        shard.decompress_sharded(bytes(bad_ver))
+    # truncated stream inside a shard -> raw-size mismatch, not silence
+    with pytest.raises(ValueError):
+        shard.decompress_sharded(bytes(blob[:-3]))

@@ -8,9 +8,13 @@ Reference analogues: fuzz/fuzz_round_trip.c + fuzz/fuzz_decompressor.c
 - exact round-trips through the native and pure-Python decoders;
 - streaming encode with random chunking, mid-stream flushes, dictionary
   resets, and custom dictionaries — decoded by the *reference* package;
-- decoder robustness on random bit-flips of valid streams (no crashes).
+- decoder robustness on random bit-flips of valid streams (no crashes);
+- a sampled wavefront-decoder leg (device-parallel formulation,
+  ops/decode_wavefront): byte parity on valid streams incl. custom
+  dictionaries, exception-not-crash on mutated streams.
 
 Usage: python tools/fuzz_campaign.py [seconds] [seed]
+Set TAMP_FUZZ_WAVEFRONT=0 to skip the JAX leg (e.g. no-JAX hosts).
 Requires the reference package at /root/reference for the oracle.
 """
 
@@ -58,9 +62,18 @@ def main() -> int:
     from tamp_tpu._native.stream import NativeCompressor
     from tamp_tpu.decompressor import decompress as py_decompress
 
+    wavefront = None
+    if os.environ.get("TAMP_FUZZ_WAVEFRONT", "1") != "0":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        from tamp_tpu.ops.decode_wavefront import decode_shards_wavefront
+
+        def wavefront(stream, dictionary, max_out):
+            return decode_shards_wavefront(
+                [stream], dictionary=dictionary, max_out=max_out)[0]
+
     rng = random.Random(seed)
     t_end = time.time() + duration
-    trials = fails = 0
+    trials = fails = wf_trials = 0
 
     while time.time() < t_end:
         trials += 1
@@ -110,6 +123,11 @@ def main() -> int:
                 got = bytes(ref.decompress(out.getvalue()))
                 assert got == data, "stream rt via reference"
 
+            if wavefront is not None and n <= 8192 and rng.random() < 0.1:
+                wf_trials += 1
+                got = wavefront(ours, dict_, 16384)
+                assert got == data, "wavefront rt"
+
             if ours and not use_dict:
                 m = bytearray(ours)
                 for _ in range(rng.randrange(1, 4)):
@@ -119,6 +137,11 @@ def main() -> int:
                         fn(bytes(m))
                     except Exception:
                         pass
+                if wavefront is not None and len(m) <= 4096 and rng.random() < 0.05:
+                    try:
+                        wavefront(bytes(m), None, 1 << 20)
+                    except Exception:
+                        pass  # mutated streams may legally be rejected
         except AssertionError as e:
             fails += 1
             print(f"FAIL trial={trials} n={n} w={w} lit={lit} ext={ext} "
@@ -127,7 +150,8 @@ def main() -> int:
                 break
         if trials % 200 == 0:
             print(f"{trials} trials, {fails} fails", flush=True)
-    print(f"DONE: {trials} trials, {fails} failures", flush=True)
+    print(f"DONE: {trials} trials ({wf_trials} wavefront), {fails} failures",
+          flush=True)
     return 1 if fails else 0
 
 
