@@ -244,10 +244,13 @@ def _token_table(nxt, incomplete, NBP: int, literal: int, T_max: int):
 
     def entry_body(p, ex_row):
         has = p < NBP
-        nxt_p = jnp.where(has, ex_row[jnp.clip(p % B, 0, B - 1)], NBP)
-        return nxt_p, jnp.where(has, p, NBP)
+        sentinel = jnp.int32(NBP)
+        nxt_p = jnp.where(has, ex_row[jnp.clip(p % B, 0, B - 1)], sentinel)
+        return nxt_p.astype(jnp.int32), jnp.where(has, p, sentinel)
 
-    _, entries = lax.scan(entry_body, jnp.int32(0), ex.reshape(nblk, B))
+    # init carry derived from `nxt` so its device-varying axes match the
+    # body output under shard_map (a literal 0 would be axis-invariant)
+    _, entries = lax.scan(entry_body, nxt[0] * 0, ex.reshape(nblk, B))
 
     lim = (jnp.arange(nblk, dtype=jnp.int32) + 1) * B
     walk_steps = B // (1 + literal) + 2
@@ -358,9 +361,9 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
         d = jnp.maximum(0, w_unc[t] - room)
         return i + 1, D + d, sg, defs.at[t].set(d)
 
+    z = w_unc[0] * 0  # zero with w_unc's device-varying axes (shard_map-safe)
     _, _, _, defs = lax.while_loop(
-        tr_cond, tr_body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.zeros(T_max, jnp.int32)),
+        tr_cond, tr_body, (z, z, z, w_unc * 0),
     )
     csd = jnp.cumsum(defs) - defs
     D_seg = _seg_base(csd, resets, seg, n_seg_max)

@@ -148,6 +148,67 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
     return {"len16": len16, "idx16": idx16, "est_bits_total": total}
 
 
+def sharded_decode_step(mesh, streams, *, max_out: int):
+    """One data-parallel device decode step over a mesh.
+
+    ``streams`` is a list of same-config Tamp streams, one per mesh device
+    (or a multiple); each device runs the wavefront kernel on its shards
+    under ``shard_map``, and the decoded byte total is combined with a
+    ``psum`` — the decode half of the scale-out story (dp is the format's
+    only parallel axis; SURVEY.md §2.8).  Returns (decoded (S, max_out)
+    uint8 sharded over the mesh, lengths (S,), replicated total).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..dictionary import dictionary_array
+    from ..ops.decode_wavefront import (
+        _pow2_bucket, _wavefront_kernel,
+    )
+    import functools
+
+    h = streams[0][0]
+    window = (h >> 5) + 8
+    literal = ((h >> 3) & 3) + 5
+    extended = bool((h >> 1) & 1)
+    more = bool(h & 1)
+    skip = 2 if more else 1
+    payloads = [bytes(s[skip:]) for s in streams]
+    S = len(payloads)
+    L = _pow2_bucket(max(len(p) for p in payloads), 64)
+    blobs = np.zeros((S, L + 8), np.uint32)
+    nbytes = np.zeros(S, np.int32)
+    for i, p in enumerate(payloads):
+        blobs[i, : len(p)] = np.frombuffer(p, np.uint8)
+        nbytes[i] = len(p)
+    dict_init = jnp.asarray(
+        dictionary_array(1 << window, literal=literal if extended else 8)
+        .astype(np.int32))
+
+    axis = mesh.axis_names[0]
+    kern = functools.partial(
+        _wavefront_kernel, NBP=8 * L, window=window, literal=literal,
+        extended=extended, more=more, max_out=_pow2_bucket(max_out, 1024))
+
+    def step(blob_all, nb_all):
+        outs, lens, errs = jax.vmap(
+            lambda b, n: kern(b, n, dict_init, dict_init))(blob_all, nb_all)
+        total = jax.lax.psum(jnp.sum(lens), axis)
+        return outs.astype(jnp.uint8), lens, errs, total
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )
+    outs, lens, errs, total = jax.jit(fn)(jnp.asarray(blobs), jnp.asarray(nbytes))
+    if np.asarray(errs).any():
+        raise ValueError("invalid tamp stream in sharded decode")
+    return outs, lens, total
+
+
 def _encode_one_shard(args):
     data, window, literal, extended, lazy, engine = args
     if engine == "device":
