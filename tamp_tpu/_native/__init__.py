@@ -94,6 +94,10 @@ def _load():
         lib.tampn_dec_feed.restype = cint
         lib.tampn_dec_read.argtypes = [vp, u8p, i64, i64p]
         lib.tampn_dec_read.restype = cint
+        lib.tampn_opt_v1_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
+        lib.tampn_opt_v1_plan.restype = cint
+        lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, u8p, i32p]
+        lib.tampn_v1_tables.restype = cint
         _lib = lib
         return _lib
 
@@ -228,6 +232,60 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
 
             raise OutOfBoundsError("window reference outside the window")
         raise ValueError(f"invalid tamp stream (native rc={rc})")
+
+
+def native_v1_tables(data, window: int, literal: int, cap: int,
+                     dictionary: bytes | None = None):
+    """Exact per-position match tables (v1 ring model) at chain-search speed.
+
+    Returns (flen uint8, fidx int32): longest match (0 when shorter than the
+    minimum pattern) capped at ``cap``, lowest ring slot among ties — the
+    same semantics as engine.search_np.match_tables."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dict_arr = (
+        np.frombuffer(bytes(dictionary), dtype=np.uint8)
+        if dictionary is not None else None
+    )
+    n = data.shape[0]
+    flen = np.zeros(max(n, 1), dtype=np.uint8)
+    fidx = np.zeros(max(n, 1), dtype=np.int32)
+    rc = lib.tampn_v1_tables(
+        _u8p(data), n, _u8p(dict_arr), window, literal, cap,
+        _u8p(flen), _i32p(fidx),
+    )
+    if rc != 0:
+        raise ValueError(f"table build failed (native rc={rc})")
+    return flen[:n], fidx[:n]
+
+
+def native_opt_v1_plan(data, flen, fidx, window: int, literal: int) -> np.ndarray:
+    """Optimal (minimum-bit) v1 token plan from exact match tables.
+
+    Returns per-token sizes (uint8; 1 = literal).  Raises ExcessBitsError
+    when some byte fits neither a literal nor any covering match."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    flen = np.ascontiguousarray(flen, dtype=np.uint8)
+    fidx = np.ascontiguousarray(fidx, dtype=np.int32)
+    n = data.shape[0]
+    sizes = np.empty(max(n, 1), dtype=np.uint8)
+    n_tokens = ctypes.c_int64(0)
+    rc = lib.tampn_opt_v1_plan(
+        _u8p(data), _u8p(flen), _i32p(fidx), n, window, literal,
+        _u8p(sizes), ctypes.byref(n_tokens),
+    )
+    if rc == -2:
+        from ..exceptions import ExcessBitsError
+
+        raise ExcessBitsError
+    if rc != 0:
+        raise ValueError(f"optimal plan failed (native rc={rc})")
+    return sizes[: n_tokens.value]
 
 
 def native_decompress_into(data: bytes, out, *,

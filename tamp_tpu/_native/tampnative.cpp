@@ -1396,4 +1396,83 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
   return 0;
 }
 
+// ---- per-position match tables (v1 model) ----------------------------------
+// The exact tables the vectorized engines consume (longest match, lowest
+// ring slot), computed at chain-search speed: one hash-chain search per
+// position against the last-W-bytes window of dict || data[:t] — the v1
+// ring model, which is tokenization-independent.  Feeds the optimal parse.
+int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
+                    int window, int literal, int cap,
+                    uint8_t* flen, int32_t* fidx) {
+  Committer c;
+  c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
+  c.minp = min_pattern_size(window, literal);
+  c.maxpat = c.minp + 13;
+  c.extended = false; c.lazy = false;
+  c.data = data; c.N = n;
+  c.full_cap = cap;
+  c.ring.resize(c.W);
+  if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
+  else init_dictionary(c.ring.data(), c.W, 8);  // v1 always seeds literal=8
+  c.seed_chains();
+  for (int64_t t = 0; t < n; t++) {
+    int tl = (int)((n - t) < cap ? (n - t) : cap);
+    SearchResult r = c.chain_search(data + t, tl, cap, 0);
+    flen[t] = (uint8_t)(r.size < c.minp ? 0 : r.size);
+    fidx[t] = r.idx;
+    c.ring_push(data[t]);
+  }
+  return 0;
+}
+
+// ---- optimal (minimum-bit) v1 parse ----------------------------------------
+// Dynamic program over the exact per-position match tables: cost[i] = fewest
+// payload bits to encode data[i..n).  Valid tokens at i: a literal (iff
+// data[i] fits `literal` bits) or a match of any size s in [minp,
+// min(flen[i], minp+13)] at offset fidx[i] (a prefix of the longest match is
+// itself a match at the same ring slot; v1 window content is
+// tokenization-independent, so the tables stay exact under any parse).
+// Output: per-token sizes (1 = literal); the caller expands offsets/values.
+// Returns 0 ok, -2 excess bits (some byte can neither be a literal nor be
+// covered by a match).
+int tampn_opt_v1_plan(const uint8_t* data, const uint8_t* flen,
+                      const int32_t* fidx, int64_t n, int window, int literal,
+                      uint8_t* sizes, int64_t* n_tokens) {
+  (void)fidx;
+  const int minp = min_pattern_size(window, literal);
+  const int maxpat = minp + 13;
+  const uint32_t INF = 0x7FFFFFFFu;
+  const uint32_t lit_cost = (uint32_t)(1 + literal);
+  const int lit_limit = literal == 8 ? 256 : (1 << literal);
+  std::vector<uint32_t> cost((size_t)n + 1);
+  std::vector<uint8_t> choice((size_t)n);
+  cost[(size_t)n] = 0;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    uint32_t best = INF;
+    uint8_t ch = 0;
+    if (data[i] < lit_limit && cost[(size_t)i + 1] < INF) {
+      best = cost[(size_t)i + 1] + lit_cost;
+      ch = 1;
+    }
+    int cap = flen[i];
+    if (cap > maxpat) cap = maxpat;  // search tables cap at 16; v1 caps lower
+    for (int s = minp; s <= cap; s++) {
+      uint32_t below = cost[(size_t)(i + s)];
+      if (below >= INF) continue;
+      uint32_t c = below + HUFF_BITS[s - minp] + (uint32_t)window;
+      if (c < best) { best = c; ch = (uint8_t)s; }
+    }
+    if (ch == 0) return -2;  // excess bits with no covering match
+    cost[(size_t)i] = best;
+    choice[(size_t)i] = ch;
+  }
+  int64_t t = 0;
+  for (int64_t i = 0; i < n;) {
+    sizes[t++] = choice[(size_t)i];
+    i += choice[(size_t)i];
+  }
+  *n_tokens = t;
+  return 0;
+}
+
 }  // extern "C"

@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sharded", action="store_true",
                    help="emit a TTPU container of independent streams")
     c.add_argument("--shard-size", type=int, default=1 << 20)
+    c.add_argument("--optimal", action="store_true",
+                   help="minimum-bit parse (v1 format; smaller than the "
+                        "reference encoder's output, still spec-conforming)")
 
     d = sub.add_parser("decompress", help="Decompress an input file or stream.")
     _add_io_args(d)
@@ -183,6 +186,17 @@ def main(argv=None) -> int:
     if args.command == "compress":
         inp = args.input_opt or args.input
         data = _read(inp)
+        if getattr(args, "optimal", False):
+            if args.sharded:
+                raise SystemExit("--optimal and --sharded are exclusive")
+            from tamp_tpu.engine.encode import encode_v1
+
+            kwargs = dict(window=args.window, literal=args.literal)
+            if args.dictionary is not None:
+                kwargs["dictionary"] = bytes(load_dictionary(
+                    args.dictionary, args.window, args.literal, False))
+            _write(args.output, encode_v1(data, parse="optimal", **kwargs))
+            return 0
         if args.sharded:
             from tamp_tpu.parallel.shard import compress_sharded
 

@@ -49,6 +49,35 @@ def model_history(data: np.ndarray, window: int, literal: int, extended: bool, d
     return dict_arr, np.concatenate([dict_arr, data])
 
 
+def _emit_v1_plan(data, sizes, flen, fidx, window: int, literal: int):
+    """Expand a token-size plan into (values, nbits) — vectorized.
+
+    ``sizes``: per-token byte counts (1 = literal).  Matches reuse the
+    search table's offset at the token's position (any prefix of the
+    longest match is a match at the same ring slot)."""
+    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS
+    from ..exceptions import ExcessBitsError
+
+    minp = compute_min_pattern_size(window, literal)
+    T = sizes.shape[0]
+    starts = np.zeros(T, np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:] if T else starts[:0])
+    lit = sizes == 1
+    lit_limit = 256 if literal == 8 else (1 << literal)
+    dstart = data[starts] if T else np.zeros(0, np.uint8)
+    if np.any(lit & (dstart >= lit_limit)):
+        raise ExcessBitsError
+    sym = np.clip(sizes.astype(np.int32) - minp, 0, 13)
+    HC = np.asarray(HUFFMAN_CODES[:14], np.uint32)
+    HL = np.asarray(HUFFMAN_LENGTHS[:14], np.uint32)
+    idx = fidx[starts].astype(np.uint32) if T else np.zeros(0, np.uint32)
+    values = np.where(
+        lit, (1 << literal) | dstart.astype(np.uint32),
+        (HC[sym] << window) | idx).astype(np.uint32)
+    nbits = np.where(lit, literal + 1, HL[sym] + window).astype(np.uint8)
+    return values, nbits
+
+
 def encode_v1(
     data,
     *,
@@ -57,18 +86,48 @@ def encode_v1(
     lazy_matching: bool = False,
     dictionary=None,
     search_fn=None,
+    parse: str = "greedy",
 ) -> bytes:
     """Encode a complete v1 (non-extended) Tamp stream.
 
     ``search_fn(data, dict_arr, window_bits)`` may override the match-table
     backend (NumPy oracle by default; the JAX/Pallas kernels plug in here).
+
+    ``parse="greedy"`` (default) is byte-identical to the reference encoder;
+    ``parse="optimal"`` runs a minimum-bit dynamic program over the same
+    match tables — output is strictly <= the greedy size, still a
+    spec-conforming v1 stream any Tamp decoder reads (a capability the
+    reference does not have).
     """
     data = np.frombuffer(bytes(data), dtype=np.uint8)
     dict_arr, C = model_history(data, window, literal, False, dictionary)
 
     searcher = search_fn or match_tables
-    tables = searcher(data, dict_arr, window, compute_probe=lazy_matching)
-    values, nbits = commit_v1(data, tables, C, window, literal, lazy_matching)
+    if parse == "optimal":
+        from .. import _native
+
+        if not _native.available():
+            raise RuntimeError(
+                f"optimal parse needs the native engine: {_native.load_error()}")
+        minp = compute_min_pattern_size(window, literal)
+        cap = min(16, minp + 13)
+        if search_fn is None:
+            # chain-search-speed exact tables (same semantics as the oracle)
+            flen, fidx = _native.native_v1_tables(
+                data, window, literal, cap, dictionary=dict_arr.tobytes())
+        else:
+            tables = searcher(data, dict_arr, window, compute_probe=False)
+            if cap == 16:
+                flen, fidx = tables.len16, tables.idx16
+            else:
+                flen, fidx = tables.len15, tables.idx15
+        sizes = _native.native_opt_v1_plan(data, flen, fidx, window, literal)
+        values, nbits = _emit_v1_plan(data, sizes, flen, fidx, window, literal)
+    elif parse == "greedy":
+        tables = searcher(data, dict_arr, window, compute_probe=lazy_matching)
+        values, nbits = commit_v1(data, tables, C, window, literal, lazy_matching)
+    else:
+        raise ValueError(f"unknown parse strategy: {parse!r}")
 
     head = build_header(window, literal, dictionary is not None, False, False)
     all_values = np.concatenate([np.array([v for v, _ in head], np.uint32), values])

@@ -1,0 +1,72 @@
+"""Optimal (minimum-bit) v1 parse: spec-conforming streams strictly <= the
+greedy/reference size, decodable by every decoder (ours and the reference's).
+This is a capability beyond the reference encoder — the v1 window is
+tokenization-independent, so a DP over the exact match tables stays valid."""
+
+import pytest
+
+import tamp_tpu
+from tamp_tpu import _native
+from tamp_tpu.engine.encode import encode_v1
+from tamp_tpu.exceptions import ExcessBitsError
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason=f"native unavailable: {_native.load_error()}"
+)
+
+
+@pytest.mark.parametrize("window,literal", [(10, 8), (8, 8), (12, 7), (9, 5)])
+def test_optimal_le_greedy_and_roundtrips(window, literal, rng, ref_tamp):
+    mask = (1 << literal) - 1
+    base = b"optimal parse differential corpus -- some repeats repeats " * 40
+    data = bytes(b & mask for b in base) + bytes(
+        rng.randrange(1 << literal) for _ in range(1200))
+    greedy = encode_v1(data, window=window, literal=literal)
+    lazy = encode_v1(data, window=window, literal=literal, lazy_matching=True)
+    opt = encode_v1(data, window=window, literal=literal, parse="optimal")
+    assert len(opt) <= len(greedy)
+    assert len(opt) <= len(lazy)  # DP dominates the lazy heuristic too
+    assert bytes(ref_tamp.decompress(opt)) == data
+    assert bytes(tamp_tpu.decompress(opt)) == data
+    assert bytes(_native.native_decompress(opt)) == data
+
+
+def test_optimal_with_custom_dictionary(rng, ref_tamp):
+    W = 1 << 10
+    dictv = bytes(rng.randrange(256) for _ in range(W))
+    data = dictv[100:400] + b" body reusing dictionary bytes " * 20
+    opt = encode_v1(data, window=10, parse="optimal", dictionary=dictv)
+    plain = encode_v1(data, window=10, parse="optimal")
+    assert len(opt) < len(plain)  # the dictionary must actually help
+    assert bytes(ref_tamp.decompress(opt, dictionary=bytearray(dictv))) == data
+
+
+def test_optimal_excess_bits():
+    with pytest.raises(ExcessBitsError):
+        encode_v1(b"ab\x90xy", window=10, literal=7, parse="optimal")
+
+
+def test_optimal_empty_and_tiny(ref_tamp):
+    for d in (b"", b"q", b"ab" * 4):
+        opt = encode_v1(d, window=10, parse="optimal")
+        assert bytes(ref_tamp.decompress(opt)) == d
+
+
+def test_cli_optimal(tmp_path):
+    import subprocess
+    import sys
+
+    data = b"cli optimal corpus " * 120
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "o.tamp"
+    back = tmp_path / "b.bin"
+    subprocess.run(
+        [sys.executable, "-m", "tamp_tpu", "compress", str(src), "-o",
+         str(out), "--optimal"], check=True)
+    subprocess.run(
+        [sys.executable, "-m", "tamp_tpu", "decompress", str(out), "-o",
+         str(back)], check=True)
+    assert back.read_bytes() == data
+    greedy = encode_v1(data, window=10)
+    assert len(out.read_bytes()) <= len(greedy)
