@@ -188,7 +188,12 @@ def main(argv=None) -> int:
         data = _read(inp)
         if getattr(args, "optimal", False):
             if args.sharded:
-                raise SystemExit("--optimal and --sharded are exclusive")
+                from tamp_tpu.parallel.shard import compress_sharded
+
+                _write(args.output, compress_sharded(
+                    data, window=args.window, literal=args.literal,
+                    shard_size=args.shard_size, engine="optimal"))
+                return 0
             from tamp_tpu.engine.encode import encode_v1
 
             kwargs = dict(window=args.window, literal=args.literal)

@@ -211,6 +211,11 @@ def sharded_decode_step(mesh, streams, *, max_out: int):
 
 def _encode_one_shard(args):
     data, window, literal, extended, lazy, engine = args
+    if engine == "optimal":
+        # minimum-bit v1 parse per shard (extended/lazy flags do not apply)
+        from ..engine.encode import encode_v1
+
+        return encode_v1(data, window=window, literal=literal, parse="optimal")
     if engine == "device":
         from ..engine.pipeline import device_pipeline_available, encode_device
 
