@@ -128,6 +128,18 @@ def main() -> int:
                 got = wavefront(ours, dict_, 16384)
                 assert got == data, "wavefront rt"
 
+            if not ext and n <= 8192 and rng.random() < 0.25:
+                # optimal v1 parse: never larger than greedy, always decoded
+                # exactly by the reference package
+                from tamp_tpu.engine.encode import encode_v1
+
+                opt = encode_v1(
+                    data, window=w, literal=lit, parse="optimal",
+                    dictionary=dict_)
+                assert len(opt) <= len(ours), "optimal larger than greedy"
+                ref_kw = {"dictionary": bytearray(dict_)} if dict_ else {}
+                assert bytes(ref.decompress(opt, **ref_kw)) == data, "optimal rt"
+
             if ours and not use_dict:
                 m = bytearray(ours)
                 for _ in range(rng.randrange(1, 4)):
