@@ -96,8 +96,10 @@ def _load():
         lib.tampn_dec_read.restype = cint
         lib.tampn_opt_v1_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
         lib.tampn_opt_v1_plan.restype = cint
-        lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, u8p, i32p]
+        lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, cint, u8p, i32p]
         lib.tampn_v1_tables.restype = cint
+        lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
+        lib.tampn_opt_ext_plan.restype = cint
         _lib = lib
         return _lib
 
@@ -235,12 +237,14 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
 
 
 def native_v1_tables(data, window: int, literal: int, cap: int,
-                     dictionary: bytes | None = None):
+                     dictionary: bytes | None = None,
+                     ext_dict: bool = False):
     """Exact per-position match tables (v1 ring model) at chain-search speed.
 
     Returns (flen uint8, fidx int32): longest match (0 when shorter than the
     minimum pattern) capped at ``cap``, lowest ring slot among ties — the
-    same semantics as engine.search_np.match_tables."""
+    same semantics as engine.search_np.match_tables.  ``ext_dict`` seeds the
+    default dictionary with the real literal width (extended-format quirk)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
@@ -254,11 +258,38 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     fidx = np.zeros(max(n, 1), dtype=np.int32)
     rc = lib.tampn_v1_tables(
         _u8p(data), n, _u8p(dict_arr), window, literal, cap,
-        _u8p(flen), _i32p(fidx),
+        1 if ext_dict else 0, _u8p(flen), _i32p(fidx),
     )
     if rc != 0:
         raise ValueError(f"table build failed (native rc={rc})")
     return flen[:n], fidx[:n]
+
+
+def native_opt_ext_plan(data, flen, fidx, window: int, literal: int) -> np.ndarray:
+    """Optimal extended-format token plan (no-RLE divergence-free family).
+
+    Returns per-token sizes (uint8; 1 = literal, minp..minp+11 = basic
+    match, >= minp+12 = extended match)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    flen = np.ascontiguousarray(flen, dtype=np.uint8)
+    fidx = np.ascontiguousarray(fidx, dtype=np.int32)
+    n = data.shape[0]
+    sizes = np.empty(max(n, 1), dtype=np.uint8)
+    n_tokens = ctypes.c_int64(0)
+    rc = lib.tampn_opt_ext_plan(
+        _u8p(data), _u8p(flen), _i32p(fidx), n, window, literal,
+        _u8p(sizes), ctypes.byref(n_tokens),
+    )
+    if rc == -2:
+        from ..exceptions import ExcessBitsError
+
+        raise ExcessBitsError
+    if rc != 0:
+        raise ValueError(f"optimal plan failed (native rc={rc})")
+    return sizes[: n_tokens.value]
 
 
 def native_opt_v1_plan(data, flen, fidx, window: int, literal: int) -> np.ndarray:

@@ -1402,18 +1402,19 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
 // position against the last-W-bytes window of dict || data[:t] — the v1
 // ring model, which is tokenization-independent.  Feeds the optimal parse.
 int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
-                    int window, int literal, int cap,
+                    int window, int literal, int cap, int ext_dict,
                     uint8_t* flen, int32_t* fidx) {
   Committer c;
   c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
   c.minp = min_pattern_size(window, literal);
-  c.maxpat = c.minp + 13;
+  c.maxpat = cap;
   c.extended = false; c.lazy = false;
   c.data = data; c.N = n;
   c.full_cap = cap;
   c.ring.resize(c.W);
   if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
-  else init_dictionary(c.ring.data(), c.W, 8);  // v1 always seeds literal=8
+  // v1 seeds literal=8; extended streams seed with the real literal width
+  else init_dictionary(c.ring.data(), c.W, ext_dict ? literal : 8);
   c.seed_chains();
   for (int64_t t = 0; t < n; t++) {
     int tl = (int)((n - t) < cap ? (n - t) : cap);
@@ -1463,6 +1464,68 @@ int tampn_opt_v1_plan(const uint8_t* data, const uint8_t* flen,
       if (c < best) { best = c; ch = (uint8_t)s; }
     }
     if (ch == 0) return -2;  // excess bits with no covering match
+    cost[(size_t)i] = best;
+    choice[(size_t)i] = ch;
+  }
+  int64_t t = 0;
+  for (int64_t i = 0; i < n;) {
+    sizes[t++] = choice[(size_t)i];
+    i += choice[(size_t)i];
+  }
+  *n_tokens = t;
+  return 0;
+}
+
+// ---- optimal extended parse (no-RLE, divergence-free subset) ---------------
+// Token family: literal | basic match (sizes minp..minp+11) | extended
+// match (sizes minp+12..minp+131) CAPPED at the ring end (W - i mod W).
+// Without RLE and without extended-match write truncation, every token
+// writes exactly its bytes, so the window remains the tokenization-
+// independent v1 model and the same exact tables stay valid.  Output
+// streams carry the extended header and decode in every implementation;
+// long runs are covered by self-referential extended matches instead of
+// RLE (reference RLE wins a few bits only on multi-hundred-byte runs).
+int tampn_opt_ext_plan(const uint8_t* data, const uint8_t* flen,
+                       const int32_t* fidx, int64_t n, int window, int literal,
+                       uint8_t* sizes, int64_t* n_tokens) {
+  (void)fidx;
+  const int minp = min_pattern_size(window, literal);
+  const int W = 1 << window;
+  const uint32_t INF = 0x7FFFFFFFu;
+  const uint32_t lit_cost = (uint32_t)(1 + literal);
+  const int lit_limit = literal == 8 ? 256 : (1 << literal);
+  const int max_ext = minp + 131;
+  uint8_t ext_cost[120];  // value = size - minp - 12 in [0, 119]
+  for (int v = 0; v < 120; v++)
+    ext_cost[v] = (uint8_t)(HUFF_BITS[13] + (HUFF_BITS[v >> 3] - 1) + 3 + window);
+  std::vector<uint32_t> cost((size_t)n + 1);
+  std::vector<uint8_t> choice((size_t)n);
+  cost[(size_t)n] = 0;
+  for (int64_t i = n - 1; i >= 0; i--) {
+    uint32_t best = INF;
+    uint8_t ch = 0;
+    if (data[i] < lit_limit && cost[(size_t)i + 1] < INF) {
+      best = cost[(size_t)i + 1] + lit_cost;
+      ch = 1;
+    }
+    const int len = flen[i];
+    int capb = len < minp + 11 ? len : minp + 11;
+    for (int s = minp; s <= capb; s++) {
+      uint32_t below = cost[(size_t)(i + s)];
+      if (below >= INF) continue;
+      uint32_t c = below + HUFF_BITS[s - minp] + (uint32_t)window;
+      if (c < best) { best = c; ch = (uint8_t)s; }
+    }
+    int cape = len < max_ext ? len : max_ext;
+    const int room = W - (int)(i & (W - 1));  // ring-end write cap
+    if (cape > room) cape = room;
+    for (int s = minp + 12; s <= cape; s++) {
+      uint32_t below = cost[(size_t)(i + s)];
+      if (below >= INF) continue;
+      uint32_t c = below + ext_cost[s - minp - 12];  // window is in ext_cost
+      if (c < best) { best = c; ch = (uint8_t)s; }
+    }
+    if (ch == 0) return -2;
     cost[(size_t)i] = best;
     choice[(size_t)i] = ch;
   }

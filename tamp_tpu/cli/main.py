@@ -154,8 +154,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit a TTPU container of independent streams")
     c.add_argument("--shard-size", type=int, default=1 << 20)
     c.add_argument("--optimal", action="store_true",
-                   help="minimum-bit parse (v1 format; smaller than the "
-                        "reference encoder's output, still spec-conforming)")
+                   help="minimum-bit parse (smaller than the reference "
+                        "encoder's output, still spec-conforming; combine "
+                        "with --no-extended for the v1 format)")
 
     d = sub.add_parser("decompress", help="Decompress an input file or stream.")
     _add_io_args(d)
@@ -192,15 +193,19 @@ def main(argv=None) -> int:
 
                 _write(args.output, compress_sharded(
                     data, window=args.window, literal=args.literal,
-                    shard_size=args.shard_size, engine="optimal"))
+                    extended=args.extended, shard_size=args.shard_size,
+                    engine="optimal"))
                 return 0
-            from tamp_tpu.engine.encode import encode_v1
+            from tamp_tpu.engine.encode import encode_extended_optimal, encode_v1
 
             kwargs = dict(window=args.window, literal=args.literal)
             if args.dictionary is not None:
                 kwargs["dictionary"] = bytes(load_dictionary(
-                    args.dictionary, args.window, args.literal, False))
-            _write(args.output, encode_v1(data, parse="optimal", **kwargs))
+                    args.dictionary, args.window, args.literal, args.extended))
+            if args.extended:
+                _write(args.output, encode_extended_optimal(data, **kwargs))
+            else:
+                _write(args.output, encode_v1(data, parse="optimal", **kwargs))
             return 0
         if args.sharded:
             from tamp_tpu.parallel.shard import compress_sharded

@@ -16,7 +16,7 @@ from ..ops.bitpack import pack_bits_np
 from .commit import commit_v1
 from .search_np import match_tables
 
-__all__ = ["encode_v1", "build_header", "model_history"]
+__all__ = ["encode_v1", "encode_extended_optimal", "build_header", "model_history"]
 
 
 def build_header(
@@ -76,6 +76,92 @@ def _emit_v1_plan(data, sizes, flen, fidx, window: int, literal: int):
         (HC[sym] << window) | idx).astype(np.uint32)
     nbits = np.where(lit, literal + 1, HL[sym] + window).astype(np.uint8)
     return values, nbits
+
+
+def encode_extended_optimal(
+    data,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    dictionary=None,
+) -> bytes:
+    """Optimal extended-format encode over the divergence-free token family.
+
+    Minimum-bit DP over literals, basic matches, and extended matches capped
+    at the ring end (no RLE, no write truncation) — without those two the
+    window stays the tokenization-independent v1 model, so exact tables
+    remain valid under any parse.  Output carries the extended header and
+    decodes in every Tamp implementation; typically smaller than the
+    reference's greedy+lazy extended output on match-rich data (very long
+    byte runs are the exception — RLE there beats capped extended matches).
+    """
+    from .. import _native
+
+    if not _native.available():
+        raise RuntimeError(
+            f"optimal parse needs the native engine: {_native.load_error()}")
+    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS
+    from ..exceptions import ExcessBitsError
+
+    data = np.frombuffer(bytes(data), dtype=np.uint8)
+    W = 1 << window
+    dict_bytes = None
+    if dictionary is not None:
+        dict_bytes = bytes(dictionary)
+        if len(dict_bytes) != W:
+            raise ValueError("Dictionary-window size mismatch.")
+    minp = compute_min_pattern_size(window, literal)
+    cap = minp + 131
+    flen, fidx = _native.native_v1_tables(
+        data, window, literal, cap, dictionary=dict_bytes, ext_dict=True)
+    sizes = _native.native_opt_ext_plan(data, flen, fidx, window, literal)
+
+    T = sizes.shape[0]
+    starts = np.zeros(T, np.int64)
+    if T:
+        np.cumsum(sizes[:-1], out=starts[1:])
+    lit = sizes == 1
+    ext = sizes >= minp + 12
+    basic = ~lit & ~ext
+    lit_limit = 256 if literal == 8 else (1 << literal)
+    dstart = data[starts] if T else np.zeros(0, np.uint8)
+    if np.any(lit & (dstart >= lit_limit)):
+        raise ExcessBitsError
+    HC = np.asarray(HUFFMAN_CODES, np.uint32)
+    HL = np.asarray(HUFFMAN_LENGTHS, np.uint32)
+    idx = fidx[starts].astype(np.uint32) if T else np.zeros(0, np.uint32)
+    sym_b = np.clip(sizes.astype(np.int32) - minp, 0, 13)
+    v_ext = np.clip(sizes.astype(np.int32) - minp - 12, 0, 119)
+    sym2 = v_ext >> 3
+    trail = (v_ext & 7).astype(np.uint32)
+
+    f1val = np.where(
+        lit, (1 << literal) | dstart.astype(np.uint32),
+        np.where(ext, (HC[13] << (HL[sym2] - 1)) | HC[sym2],
+                 (HC[sym_b] << window) | idx)).astype(np.uint32)
+    f1bits = np.where(
+        lit, literal + 1,
+        np.where(ext, HUFFMAN_LENGTHS[13] + HL[sym2] - 1,
+                 HL[sym_b] + window)).astype(np.uint8)
+    f2val = ((trail << window) | idx).astype(np.uint32)
+
+    n_ext = int(ext.sum())
+    pos = np.arange(T, dtype=np.int64)
+    if T:
+        pos += np.concatenate([[0], np.cumsum(ext.astype(np.int64))[:-1]])
+    total = T + n_ext
+    values = np.zeros(total, np.uint32)
+    nbits = np.zeros(total, np.uint8)
+    values[pos] = f1val
+    nbits[pos] = f1bits
+    values[pos[ext] + 1] = f2val[ext]
+    nbits[pos[ext] + 1] = 3 + window
+
+    head = build_header(window, literal, dictionary is not None, True, False)
+    all_values = np.concatenate([np.array([v for v, _ in head], np.uint32), values])
+    all_nbits = np.concatenate([np.array([n for _, n in head], np.uint8), nbits])
+    packed, _ = pack_bits_np(all_values, all_nbits)
+    return packed
 
 
 def encode_v1(

@@ -212,7 +212,11 @@ def sharded_decode_step(mesh, streams, *, max_out: int):
 def _encode_one_shard(args):
     data, window, literal, extended, lazy, engine = args
     if engine == "optimal":
-        # minimum-bit v1 parse per shard (extended/lazy flags do not apply)
+        # minimum-bit parse per shard (lazy flag does not apply)
+        if extended:
+            from ..engine.encode import encode_extended_optimal
+
+            return encode_extended_optimal(data, window=window, literal=literal)
         from ..engine.encode import encode_v1
 
         return encode_v1(data, window=window, literal=literal, parse="optimal")

@@ -52,6 +52,51 @@ def test_optimal_empty_and_tiny(ref_tamp):
         assert bytes(ref_tamp.decompress(opt)) == d
 
 
+@pytest.mark.parametrize("window,literal", [(10, 8), (8, 8), (12, 7)])
+def test_extended_optimal_roundtrips(window, literal, rng, ref_tamp):
+    from tamp_tpu.engine.encode import encode_extended_optimal
+
+    mask = (1 << literal) - 1
+    base = (b"extended optimal corpus with long long long repeats " * 60
+            + b"\x00" * 500)
+    data = bytes(b & mask for b in base) + bytes(
+        rng.randrange(1 << literal) for _ in range(1000))
+    opt = encode_extended_optimal(data, window=window, literal=literal)
+    assert bytes(ref_tamp.decompress(opt)) == data
+    assert bytes(tamp_tpu.decompress(opt)) == data
+    assert bytes(_native.native_decompress(opt)) == data
+
+
+def test_extended_optimal_beats_lazy_on_text(ref_tamp):
+    from tamp_tpu.engine.encode import encode_extended_optimal
+
+    data = open("/root/reference/README.md", "rb").read()
+    opt = encode_extended_optimal(data, window=10)
+    lazy = bytes(_native.native_compress(
+        data, window=10, extended=True, lazy_matching=True))
+    assert len(opt) < len(lazy)
+    assert bytes(ref_tamp.decompress(opt)) == data
+
+
+def test_extended_optimal_custom_dictionary(rng, ref_tamp):
+    from tamp_tpu.engine.encode import encode_extended_optimal
+
+    W = 1 << 10
+    dictv = bytes(rng.randrange(256) for _ in range(W))
+    data = dictv[50:420] + b" extended body reusing dictionary " * 25
+    opt = encode_extended_optimal(data, window=10, dictionary=dictv)
+    plain = encode_extended_optimal(data, window=10)
+    assert len(opt) < len(plain)
+    assert bytes(ref_tamp.decompress(opt, dictionary=bytearray(dictv))) == data
+
+
+def test_extended_optimal_empty_and_tiny(ref_tamp):
+    from tamp_tpu.engine.encode import encode_extended_optimal
+
+    for d in (b"", b"q", b"ab" * 4):
+        assert bytes(ref_tamp.decompress(encode_extended_optimal(d))) == d
+
+
 def test_cli_optimal(tmp_path):
     import subprocess
     import sys

@@ -128,17 +128,26 @@ def main() -> int:
                 got = wavefront(ours, dict_, 16384)
                 assert got == data, "wavefront rt"
 
-            if not ext and n <= 8192 and rng.random() < 0.25:
-                # optimal v1 parse: never larger than greedy, always decoded
-                # exactly by the reference package
-                from tamp_tpu.engine.encode import encode_v1
-
-                opt = encode_v1(
-                    data, window=w, literal=lit, parse="optimal",
-                    dictionary=dict_)
-                assert len(opt) <= len(ours), "optimal larger than greedy"
+            if n <= 8192 and rng.random() < 0.25:
+                # optimal parse: decoded exactly by the reference package;
+                # the v1 DP is additionally never larger than greedy
                 ref_kw = {"dictionary": bytearray(dict_)} if dict_ else {}
-                assert bytes(ref.decompress(opt, **ref_kw)) == data, "optimal rt"
+                if ext:
+                    from tamp_tpu.engine.encode import encode_extended_optimal
+
+                    opt = encode_extended_optimal(
+                        data, window=w, literal=lit, dictionary=dict_)
+                    assert bytes(ref.decompress(opt, **ref_kw)) == data, \
+                        "ext-optimal rt"
+                else:
+                    from tamp_tpu.engine.encode import encode_v1
+
+                    opt = encode_v1(
+                        data, window=w, literal=lit, parse="optimal",
+                        dictionary=dict_)
+                    assert len(opt) <= len(ours), "optimal larger than greedy"
+                    assert bytes(ref.decompress(opt, **ref_kw)) == data, \
+                        "optimal rt"
 
             if ours and not use_dict:
                 m = bytearray(ours)
