@@ -96,9 +96,11 @@ def _load():
         lib.tampn_dec_read.restype = cint
         lib.tampn_opt_v1_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
         lib.tampn_opt_v1_plan.restype = cint
-        lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, cint, u8p, i32p]
+        lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, cint,
+                                        u32p, u8p, i32p]
         lib.tampn_v1_tables.restype = cint
-        lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
+        lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, u32p, i64p, cint,
+                                           i64, cint, cint, u8p, u8p, i64p]
         lib.tampn_opt_ext_plan.restype = cint
         _lib = lib
         return _lib
@@ -123,6 +125,18 @@ def _i32p(arr):
     if arr is None:
         return None
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u32p(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i64p_arr(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
 def native_compress(
@@ -238,7 +252,7 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
 
 def native_v1_tables(data, window: int, literal: int, cap: int,
                      dictionary: bytes | None = None,
-                     ext_dict: bool = False):
+                     ext_dict: bool = False, khat=None):
     """Exact per-position match tables (v1 ring model) at chain-search speed.
 
     Returns (flen uint8, fidx int32): longest match (0 when shorter than the
@@ -256,20 +270,28 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     n = data.shape[0]
     flen = np.zeros(max(n, 1), dtype=np.uint8)
     fidx = np.zeros(max(n, 1), dtype=np.int32)
+    kh = None
+    if khat is not None:
+        kh = np.ascontiguousarray(khat, dtype=np.uint32)
+        assert kh.shape[0] == n + 1
     rc = lib.tampn_v1_tables(
         _u8p(data), n, _u8p(dict_arr), window, literal, cap,
-        1 if ext_dict else 0, _u8p(flen), _i32p(fidx),
+        1 if ext_dict else 0, _u32p(kh), _u8p(flen), _i32p(fidx),
     )
     if rc != 0:
         raise ValueError(f"table build failed (native rc={rc})")
     return flen[:n], fidx[:n]
 
 
-def native_opt_ext_plan(data, flen, fidx, window: int, literal: int) -> np.ndarray:
-    """Optimal extended-format token plan (no-RLE divergence-free family).
+def native_opt_ext_plan(data, flen, fidx, window: int, literal: int,
+                        khat=None, runs=None):
+    """Optimal extended-format token plan.
 
-    Returns per-token sizes (uint8; 1 = literal, minp..minp+11 = basic
-    match, >= minp+12 = extended match)."""
+    Token family: literals, basic matches, ring-end-capped extended matches,
+    plus forced RLE regions (``runs``: (a, b) pairs over long byte runs,
+    window-write-modeled by ``khat``).  Returns (sizes uint8, kinds uint8)
+    per token: kind 0 = literal, 1 = basic match, 2 = extended match,
+    3 = RLE."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
@@ -277,11 +299,21 @@ def native_opt_ext_plan(data, flen, fidx, window: int, literal: int) -> np.ndarr
     flen = np.ascontiguousarray(flen, dtype=np.uint8)
     fidx = np.ascontiguousarray(fidx, dtype=np.int32)
     n = data.shape[0]
+    kh = None
+    if khat is not None:
+        kh = np.ascontiguousarray(khat, dtype=np.uint32)
+        assert kh.shape[0] == n + 1
+    rn = None
+    n_runs = 0
+    if runs is not None and len(runs):
+        rn = np.ascontiguousarray(np.asarray(runs, np.int64).reshape(-1))
+        n_runs = rn.shape[0] // 2
     sizes = np.empty(max(n, 1), dtype=np.uint8)
+    kinds = np.empty(max(n, 1), dtype=np.uint8)
     n_tokens = ctypes.c_int64(0)
     rc = lib.tampn_opt_ext_plan(
-        _u8p(data), _u8p(flen), _i32p(fidx), n, window, literal,
-        _u8p(sizes), ctypes.byref(n_tokens),
+        _u8p(data), _u8p(flen), _i32p(fidx), _u32p(kh), _i64p_arr(rn), n_runs,
+        n, window, literal, _u8p(sizes), _u8p(kinds), ctypes.byref(n_tokens),
     )
     if rc == -2:
         from ..exceptions import ExcessBitsError
@@ -289,7 +321,7 @@ def native_opt_ext_plan(data, flen, fidx, window: int, literal: int) -> np.ndarr
         raise ExcessBitsError
     if rc != 0:
         raise ValueError(f"optimal plan failed (native rc={rc})")
-    return sizes[: n_tokens.value]
+    return sizes[: n_tokens.value], kinds[: n_tokens.value]
 
 
 def native_opt_v1_plan(data, flen, fidx, window: int, literal: int) -> np.ndarray:

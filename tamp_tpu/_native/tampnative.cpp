@@ -1403,6 +1403,7 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
 // ring model, which is tokenization-independent.  Feeds the optimal parse.
 int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
                     int window, int literal, int cap, int ext_dict,
+                    const uint32_t* khat,
                     uint8_t* flen, int32_t* fidx) {
   Committer c;
   c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
@@ -1421,7 +1422,9 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
     SearchResult r = c.chain_search(data + t, tl, cap, 0);
     flen[t] = (uint8_t)(r.size < c.minp ? 0 : r.size);
     fidx[t] = r.idx;
-    c.ring_push(data[t]);
+    // khat: the model write count (planned-RLE truncation) — push only the
+    // bytes the decoder will actually write into its window
+    if (!khat || khat[t + 1] > khat[t]) c.ring_push(data[t]);
   }
   return 0;
 }
@@ -1486,8 +1489,10 @@ int tampn_opt_v1_plan(const uint8_t* data, const uint8_t* flen,
 // long runs are covered by self-referential extended matches instead of
 // RLE (reference RLE wins a few bits only on multi-hundred-byte runs).
 int tampn_opt_ext_plan(const uint8_t* data, const uint8_t* flen,
-                       const int32_t* fidx, int64_t n, int window, int literal,
-                       uint8_t* sizes, int64_t* n_tokens) {
+                       const int32_t* fidx, const uint32_t* khat,
+                       const int64_t* runs, int n_runs,
+                       int64_t n, int window, int literal,
+                       uint8_t* sizes, uint8_t* kinds, int64_t* n_tokens) {
   (void)fidx;
   const int minp = min_pattern_size(window, literal);
   const int W = 1 << window;
@@ -1495,43 +1500,94 @@ int tampn_opt_ext_plan(const uint8_t* data, const uint8_t* flen,
   const uint32_t lit_cost = (uint32_t)(1 + literal);
   const int lit_limit = literal == 8 ? 256 : (1 << literal);
   const int max_ext = minp + 131;
-  uint8_t ext_cost[120];  // value = size - minp - 12 in [0, 119]
+  uint8_t ext_cost[120];  // value = size - minp - 12 in [0, 119]; incl window
   for (int v = 0; v < 120; v++)
     ext_cost[v] = (uint8_t)(HUFF_BITS[13] + (HUFF_BITS[v >> 3] - 1) + 3 + window);
+  uint8_t rle_cost[240];  // count - 2 in [0, 239]
+  for (int v = 0; v < 240; v++)
+    rle_cost[v] = (uint8_t)(HUFF_BITS[12] + (HUFF_BITS[v >> 4] - 1) + 4);
   std::vector<uint32_t> cost((size_t)n + 1);
   std::vector<uint8_t> choice((size_t)n);
+  std::vector<uint8_t> kind((size_t)n);
   cost[(size_t)n] = 0;
+  // runs: n_runs pairs (a, b), sorted ascending, non-overlapping, length
+  // >= 2, each a forced-RLE region (caller guarantees data[a-1..b) is one
+  // repeated byte and khat models the <=8-byte truncated window writes).
+  // An RLE token covers 2..241 bytes; a region splits greedily with a
+  // 240+2 fixup when the remainder would be 1.
+  auto region_split = [](int64_t rest) -> int {
+    return rest >= 243 ? 241 : (rest == 242 ? 240 : (int)rest);
+  };
+  int ri = n_runs - 1;
   for (int64_t i = n - 1; i >= 0; i--) {
+    while (ri >= 0 && runs[2 * ri] > i) ri--;
+    if (ri >= 0 && i < runs[2 * ri + 1]) {  // inside forced region [a, b)
+      const int64_t a = runs[2 * ri], b = runs[2 * ri + 1];
+      if (i != a) {
+        cost[(size_t)i] = INF;  // only the region start is a DP node
+        continue;
+      }
+      uint32_t rbits = 0;
+      for (int64_t p = a; p < b;) {
+        int count = region_split(b - p);
+        rbits += rle_cost[count - 2];
+        p += count;
+      }
+      uint32_t below = cost[(size_t)b];
+      cost[(size_t)i] = below >= INF ? INF : below + rbits;
+      kind[(size_t)i] = 3;  // walk expands the region's RLE tokens
+      continue;
+    }
+    const int64_t next_bound = (ri + 1 < n_runs) ? runs[2 * (ri + 1)] : n;
+    const int64_t cap_total = next_bound - i;
     uint32_t best = INF;
-    uint8_t ch = 0;
+    uint8_t ch = 0, kd = 0;
     if (data[i] < lit_limit && cost[(size_t)i + 1] < INF) {
       best = cost[(size_t)i + 1] + lit_cost;
-      ch = 1;
+      ch = 1; kd = 0;
     }
-    const int len = flen[i];
+    int len = flen[i];
+    if (len > cap_total) len = (int)cap_total;
     int capb = len < minp + 11 ? len : minp + 11;
     for (int s = minp; s <= capb; s++) {
       uint32_t below = cost[(size_t)(i + s)];
       if (below >= INF) continue;
       uint32_t c = below + HUFF_BITS[s - minp] + (uint32_t)window;
-      if (c < best) { best = c; ch = (uint8_t)s; }
+      if (c < best) { best = c; ch = (uint8_t)s; kd = 1; }
     }
     int cape = len < max_ext ? len : max_ext;
-    const int room = W - (int)(i & (W - 1));  // ring-end write cap
+    const int room = W - (int)(khat ? (khat[i] & (uint32_t)(W - 1))
+                                    : (i & (W - 1)));
     if (cape > room) cape = room;
     for (int s = minp + 12; s <= cape; s++) {
       uint32_t below = cost[(size_t)(i + s)];
       if (below >= INF) continue;
-      uint32_t c = below + ext_cost[s - minp - 12];  // window is in ext_cost
-      if (c < best) { best = c; ch = (uint8_t)s; }
+      uint32_t c = below + ext_cost[s - minp - 12];
+      if (c < best) { best = c; ch = (uint8_t)s; kd = 2; }
     }
     if (ch == 0) return -2;
     cost[(size_t)i] = best;
     choice[(size_t)i] = ch;
+    kind[(size_t)i] = kd;
   }
   int64_t t = 0;
+  int wi = 0;  // walk's run cursor (ascending)
   for (int64_t i = 0; i < n;) {
-    sizes[t++] = choice[(size_t)i];
+    if (kind[(size_t)i] == 3) {  // forced region: expand its RLE tokens
+      while (wi < n_runs && runs[2 * wi + 1] <= i) wi++;
+      const int64_t b = runs[2 * wi + 1];
+      while (i < b) {
+        int count = region_split(b - i);
+        sizes[t] = (uint8_t)count;
+        kinds[t] = 3;
+        t++;
+        i += count;
+      }
+      continue;
+    }
+    sizes[t] = choice[(size_t)i];
+    kinds[t] = kind[(size_t)i];
+    t++;
     i += choice[(size_t)i];
   }
   *n_tokens = t;

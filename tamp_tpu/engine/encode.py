@@ -85,25 +85,27 @@ def encode_extended_optimal(
     literal: int = 8,
     dictionary=None,
 ) -> bytes:
-    """Optimal extended-format encode over the divergence-free token family.
+    """Optimal extended-format encode: minimum-bit DP over a
+    divergence-controlled token family.
 
-    Minimum-bit DP over literals, basic matches, and extended matches capped
-    at the ring end (no RLE, no write truncation) — without those two the
-    window stays the tokenization-independent v1 model, so exact tables
-    remain valid under any parse.  Output carries the extended header and
-    decodes in every Tamp implementation; typically smaller than the
-    reference's greedy+lazy extended output on match-rich data (very long
-    byte runs are the exception — RLE there beats capped extended matches).
+    Tokens: literals, basic matches, extended matches capped at the ring
+    end (no write truncation), and forced RLE over long byte runs whose
+    <=8-byte window writes are modeled by a write-count table (khat) that
+    the match-table builder honors — so the exact tables stay valid under
+    any parse the DP picks.  Output carries the extended header and decodes
+    in every Tamp implementation; typically ~1% smaller than the
+    reference's greedy+lazy extended output.
     """
     from .. import _native
 
     if not _native.available():
         raise RuntimeError(
             f"optimal parse needs the native engine: {_native.load_error()}")
-    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS
+    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS, RLE_MAX_WINDOW_WRITE
     from ..exceptions import ExcessBitsError
 
     data = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = data.shape[0]
     W = 1 << window
     dict_bytes = None
     if dictionary is not None:
@@ -112,17 +114,51 @@ def encode_extended_optimal(
             raise ValueError("Dictionary-window size mismatch.")
     minp = compute_min_pattern_size(window, literal)
     cap = minp + 131
+
+    # Forced-RLE regions over long byte runs (the run's first byte stays in
+    # the DP so the decoder's previous-window-byte equals the run byte),
+    # with the per-token <=8-byte no-wrap window writes folded into khat.
+    RUN_MIN = 32
+    runs = []
+    khat = None
+    if n:
+        starts_r = np.flatnonzero(np.concatenate(([True], data[1:] != data[:-1])))
+        lens_r = np.diff(np.append(starts_r, n))
+        long_mask = lens_r >= RUN_MIN
+        if np.any(long_mask):
+            inc = np.ones(n, np.int64)
+            cum_full = np.cumsum(inc)  # writes-before assuming no skips
+            skipped = 0
+            for rs, ln in zip(starts_r[long_mask], lens_r[long_mask]):
+                a, b = int(rs) + 1, int(rs + ln)
+                runs.append((a, b))
+                pos = int((cum_full[a - 1] - skipped) % W)
+                i = a
+                while i < b:
+                    rest = b - i
+                    count = 241 if rest >= 243 else (240 if rest == 242 else rest)
+                    wr = min(count, RLE_MAX_WINDOW_WRITE, W - pos)
+                    inc[i + wr : i + count] = 0
+                    skipped += count - wr
+                    pos = (pos + wr) % W
+                    i += count
+            khat = np.zeros(n + 1, np.uint32)
+            np.cumsum(inc, out=khat[1:])
+
     flen, fidx = _native.native_v1_tables(
-        data, window, literal, cap, dictionary=dict_bytes, ext_dict=True)
-    sizes = _native.native_opt_ext_plan(data, flen, fidx, window, literal)
+        data, window, literal, cap, dictionary=dict_bytes, ext_dict=True,
+        khat=khat)
+    sizes, kinds = _native.native_opt_ext_plan(
+        data, flen, fidx, window, literal, khat=khat, runs=runs)
 
     T = sizes.shape[0]
     starts = np.zeros(T, np.int64)
     if T:
         np.cumsum(sizes[:-1], out=starts[1:])
-    lit = sizes == 1
-    ext = sizes >= minp + 12
-    basic = ~lit & ~ext
+    lit = kinds == 0
+    basic = kinds == 1
+    ext = kinds == 2
+    rle = kinds == 3
     lit_limit = 256 if literal == 8 else (1 << literal)
     dstart = data[starts] if T else np.zeros(0, np.uint8)
     if np.any(lit & (dstart >= lit_limit)):
@@ -132,30 +168,40 @@ def encode_extended_optimal(
     idx = fidx[starts].astype(np.uint32) if T else np.zeros(0, np.uint32)
     sym_b = np.clip(sizes.astype(np.int32) - minp, 0, 13)
     v_ext = np.clip(sizes.astype(np.int32) - minp - 12, 0, 119)
-    sym2 = v_ext >> 3
-    trail = (v_ext & 7).astype(np.uint32)
+    sym2e = v_ext >> 3
+    traile = (v_ext & 7).astype(np.uint32)
+    v_rle = np.clip(sizes.astype(np.int32) - 2, 0, 239)  # count - 2
+    sym2r = v_rle >> 4
+    trailr = (v_rle & 15).astype(np.uint32)
 
-    f1val = np.where(
-        lit, (1 << literal) | dstart.astype(np.uint32),
-        np.where(ext, (HC[13] << (HL[sym2] - 1)) | HC[sym2],
-                 (HC[sym_b] << window) | idx)).astype(np.uint32)
-    f1bits = np.where(
-        lit, literal + 1,
-        np.where(ext, HUFFMAN_LENGTHS[13] + HL[sym2] - 1,
-                 HL[sym_b] + window)).astype(np.uint8)
-    f2val = ((trail << window) | idx).astype(np.uint32)
+    f1val = np.select(
+        [lit, ext, rle],
+        [(1 << literal) | dstart.astype(np.uint32),
+         (HC[13] << (HL[sym2e] - 1)) | HC[sym2e],
+         (HC[12] << (HL[sym2r] - 1)) | HC[sym2r]],
+        default=(HC[sym_b] << window) | idx).astype(np.uint32)
+    f1bits = np.select(
+        [lit, ext, rle],
+        [np.full(T, literal + 1, np.uint32),
+         HUFFMAN_LENGTHS[13] + HL[sym2e] - 1,
+         HUFFMAN_LENGTHS[12] + HL[sym2r] - 1],
+        default=HL[sym_b] + window).astype(np.uint8)
+    # second field: extended-match trail+offset, or RLE trail
+    has_f2 = ext | rle
+    f2val = np.where(ext, (traile << window) | idx, trailr).astype(np.uint32)
+    f2bits = np.where(ext, 3 + window, 4).astype(np.uint8)
 
-    n_ext = int(ext.sum())
+    n_f2 = int(has_f2.sum())
     pos = np.arange(T, dtype=np.int64)
     if T:
-        pos += np.concatenate([[0], np.cumsum(ext.astype(np.int64))[:-1]])
-    total = T + n_ext
+        pos += np.concatenate([[0], np.cumsum(has_f2.astype(np.int64))[:-1]])
+    total = T + n_f2
     values = np.zeros(total, np.uint32)
     nbits = np.zeros(total, np.uint8)
     values[pos] = f1val
     nbits[pos] = f1bits
-    values[pos[ext] + 1] = f2val[ext]
-    nbits[pos[ext] + 1] = 3 + window
+    values[pos[has_f2] + 1] = f2val[has_f2]
+    nbits[pos[has_f2] + 1] = f2bits[has_f2]
 
     head = build_header(window, literal, dictionary is not None, True, False)
     all_values = np.concatenate([np.array([v for v, _ in head], np.uint32), values])
