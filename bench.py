@@ -108,6 +108,13 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
         dec_mbs = max(dec_mbs, len(data) / (time.perf_counter() - t0) / 1e6)
     assert bytes(out) == data
 
+    # optimal (minimum-bit) parse: the max-compression mode the reference
+    # lacks; measured on the same container framing
+    t0 = time.perf_counter()
+    blob_opt = compress_sharded(data, shard_size=1 << 20, engine="optimal")
+    opt_dt = time.perf_counter() - t0
+    assert bytes(decompress_sharded(blob_opt)) == data
+
     print(
         json.dumps(
             {
@@ -120,6 +127,8 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
                 "ratio": round(len(blob) / len(data), 4),
                 "decode_mb_s": round(dec_mbs, 1),
                 "decode_vs_baseline": round(dec_mbs / 184.0, 2),
+                "optimal_ratio": round(len(blob_opt) / len(data), 4),
+                "optimal_mb_s": round(len(data) / opt_dt / 1e6, 1),
             }
         )
     )
