@@ -102,7 +102,7 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..constants import HUFFMAN_LENGTHS, compute_min_pattern_size
+    from ..constants import compute_min_pattern_size
     from ..dictionary import dictionary_array
     from ..ops.match_mxu import mxu_chunk
     from ..engine.search_np import LMAX
