@@ -6,10 +6,11 @@ framing to the container layer).  Any single shard is a spec-conforming Tamp
 stream decodable by any Tamp implementation.
 
     magic   b"TTPU"
-    u8      container version (1)
+    u8      container version (2; v1 still read)
     u8      reserved (0)
     u32le   shard count
     u64le   raw (uncompressed) size
+    u64le   shard size (v2 only: raw bytes per shard, last may be short)
     u32le * shard compressed sizes
     bytes   concatenated Tamp streams
 """
@@ -99,7 +100,7 @@ def sharded_search_step(mesh, data: np.ndarray, window_bits: int, literal_bits: 
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..constants import compute_min_pattern_size
@@ -160,7 +161,7 @@ def sharded_decode_step(mesh, streams, *, max_out: int):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..dictionary import dictionary_array
