@@ -28,8 +28,20 @@ def compress(data, **kwargs):
     byte-identical output, verified by the differential suite — else the
     pure-Python codec.  ``tamp_tpu.compressor.compress`` is always the
     Python implementation.
+
+    ``parse="optimal"`` selects the minimum-bit parse (beyond the
+    reference; see engine.encode) — smaller output, same format.
     """
     from . import _native
+
+    if kwargs.pop("parse", "greedy") == "optimal":
+        extended = kwargs.pop("extended", True)
+        kwargs.pop("lazy_matching", None)  # the DP replaces the heuristic
+        from .engine.encode import encode_extended_optimal, encode_v1
+
+        if extended:
+            return encode_extended_optimal(bytes(data), **kwargs)
+        return encode_v1(bytes(data), parse="optimal", **kwargs)
 
     if _native.available():
         if "dictionary" in kwargs and kwargs["dictionary"] is not None:

@@ -97,6 +97,16 @@ def test_extended_optimal_empty_and_tiny(ref_tamp):
         assert bytes(ref_tamp.decompress(encode_extended_optimal(d))) == d
 
 
+def test_top_level_compress_optimal(ref_tamp):
+    data = b"top level optimal dispatch " * 80
+    for kw in ({"parse": "optimal"}, {"parse": "optimal", "extended": False},
+               {"parse": "optimal", "window": 12, "lazy_matching": True}):
+        blob = tamp_tpu.compress(data, **kw)
+        assert bytes(ref_tamp.decompress(blob)) == data
+    assert len(tamp_tpu.compress(data, parse="optimal")) <= len(
+        tamp_tpu.compress(data))
+
+
 def test_cli_optimal(tmp_path):
     import subprocess
     import sys
