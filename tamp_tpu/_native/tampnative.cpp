@@ -243,11 +243,22 @@ struct Committer {
   // Exact window search via the chains: longest match of a prefix of
   // target, lowest ring slot among ties, slots >= start only — identical
   // results to a left-to-right scan of the linear buffer.
-  SearchResult chain_search(const uint8_t* target, int tlen, int cap, int start) {
+  SearchResult chain_search(const uint8_t* target, int tlen, int cap, int start,
+                            int seed_len = 0, int seed_slot = -1) {
+    // seed_len/seed_slot: a pre-validated candidate used as the initial
+    // lower bound (the table builder's prefix property: a length-L match at
+    // slot x implies length L-1 at slot x+1 one position later).  All chain
+    // candidates are still walked, so the result — longest match, lowest
+    // slot among ties — is identical to the unseeded search, just with far
+    // stronger quick-rejection.
     int limit = tlen < cap ? tlen : cap;
     if (limit < minp) return {start, 0};
     int64_t lo = wpos - W;
     int best = minp - 1, best_slot = -1;
+    if (seed_len >= minp && seed_len <= limit) {
+      best = seed_len;
+      best_slot = seed_slot;
+    }
 
     auto consider = [&](int x) {
       int room = W - x;
@@ -1417,11 +1428,24 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
   // v1 seeds literal=8; extended streams seed with the real literal width
   else init_dictionary(c.ring.data(), c.W, ext_dict ? literal : 8);
   c.seed_chains();
+  int prev_len = 0, prev_idx = 0;
   for (int64_t t = 0; t < n; t++) {
     int tl = (int)((n - t) < cap ? (n - t) : cap);
-    SearchResult r = c.chain_search(data + t, tl, cap, 0);
+    // prefix-property seed: last position's length-L match at slot x gives
+    // a valid length L-1 candidate at slot x+1 — unless the intervening
+    // ring write landed inside it
+    int seed_len = prev_len - 1, seed_slot = prev_idx + 1;
+    if (seed_len >= c.minp) {
+      int w_slot = c.pos == 0 ? c.W - 1 : c.pos - 1;  // last written slot
+      if (w_slot >= seed_slot && w_slot < seed_slot + seed_len) seed_len = 0;
+    } else {
+      seed_len = 0;
+    }
+    SearchResult r = c.chain_search(data + t, tl, cap, 0, seed_len, seed_slot);
     flen[t] = (uint8_t)(r.size < c.minp ? 0 : r.size);
     fidx[t] = r.idx;
+    prev_len = r.size >= c.minp ? r.size : 0;
+    prev_idx = r.idx;
     // khat: the model write count (planned-RLE truncation) — push only the
     // bytes the decoder will actually write into its window
     if (!khat || khat[t + 1] > khat[t]) c.ring_push(data[t]);
