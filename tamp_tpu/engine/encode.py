@@ -115,10 +115,12 @@ def encode_extended_optimal(
     minp = compute_min_pattern_size(window, literal)
     cap = minp + 131
 
-    # Forced-RLE regions over long byte runs (the run's first byte stays in
+    # Forced-RLE regions over byte runs >= 13 (empirical sweep: below 13
+    # forced RLE displaces cheaper match coverage, above it leaves RLE wins
+    # on the table; the run's first byte stays in
     # the DP so the decoder's previous-window-byte equals the run byte),
     # with the per-token <=8-byte no-wrap window writes folded into khat.
-    RUN_MIN = 32
+    RUN_MIN = 13
     runs = []
     khat = None
     if n:
