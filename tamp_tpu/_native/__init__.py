@@ -299,6 +299,9 @@ def native_opt_ext_plan(data, flen, fidx, window: int, literal: int,
     flen = np.ascontiguousarray(flen, dtype=np.uint8)
     fidx = np.ascontiguousarray(fidx, dtype=np.int32)
     n = data.shape[0]
+    if n > (200 << 20):  # DP cost is uint32 bits: <= 9 bits/byte must fit
+        raise ValueError("optimal parse is limited to 200 MiB per stream; "
+                         "use the sharded container for larger inputs")
     kh = None
     if khat is not None:
         kh = np.ascontiguousarray(khat, dtype=np.uint32)
@@ -336,6 +339,9 @@ def native_opt_v1_plan(data, flen, fidx, window: int, literal: int) -> np.ndarra
     flen = np.ascontiguousarray(flen, dtype=np.uint8)
     fidx = np.ascontiguousarray(fidx, dtype=np.int32)
     n = data.shape[0]
+    if n > (200 << 20):  # DP cost is uint32 bits: <= 9 bits/byte must fit
+        raise ValueError("optimal parse is limited to 200 MiB per stream; "
+                         "use the sharded container for larger inputs")
     sizes = np.empty(max(n, 1), dtype=np.uint8)
     n_tokens = ctypes.c_int64(0)
     rc = lib.tampn_opt_v1_plan(
