@@ -15,6 +15,35 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.parametrize("window,literal", [(8, 8), (10, 8), (12, 7), (15, 8)])
+def test_native_tables_match_oracle(window, literal, rng):
+    """The seeded chain-search table builder must stay element-exact against
+    the NumPy oracle (longest match, lowest slot among ties) — the optimal
+    parse's correctness rests on it."""
+    import numpy as np
+
+    from tamp_tpu.engine.encode import model_history
+    from tamp_tpu.engine.search_np import match_tables
+    from tamp_tpu.constants import compute_min_pattern_size
+
+    mask = (1 << literal) - 1
+    raw = (b"table parity corpus abcabcabc " * 50
+           + bytes(rng.randrange(256) for _ in range(2000))
+           + b"\x00" * 300 + b"tail tail tail " * 20)
+    data = bytes(b & mask for b in raw)
+    arr = np.frombuffer(data, np.uint8)
+    dict_arr, _ = model_history(arr, window, literal, False, None)
+    t = match_tables(arr, dict_arr, window)
+    minp = compute_min_pattern_size(window, literal)
+    cap = min(16, minp + 13)
+    ofl, ofi = (t.len16, t.idx16) if cap == 16 else (t.len15, t.idx15)
+    nfl, nfi = _native.native_v1_tables(
+        arr, window, literal, cap, dictionary=dict_arr.tobytes())
+    m = ofl >= minp
+    assert np.array_equal(np.where(ofl < minp, 0, ofl), nfl)
+    assert np.array_equal(ofi[m], nfi[m])
+
+
 @pytest.mark.parametrize("window,literal", [(10, 8), (8, 8), (12, 7), (9, 5)])
 def test_optimal_le_greedy_and_roundtrips(window, literal, rng, ref_tamp):
     mask = (1 << literal) - 1
