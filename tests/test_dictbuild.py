@@ -1,0 +1,217 @@
+"""Dictionary-building toolchain tests.
+
+Mirrors the reference suite's coverage of its toolchain
+(tests/test_build_dictionary.py: scoring, selection, packing order,
+tradeoff evaluation, knee finding, end-to-end builds) against
+``tamp_tpu.dictbuild``, plus differential checks: streams compressed with a
+built dictionary must decode through the reference package given the same
+dictionary.
+"""
+
+import random
+
+import pytest
+
+import tamp_tpu
+from tamp_tpu.constants import HUFFMAN_LENGTHS, compute_min_pattern_size
+from tamp_tpu.dictbuild import (
+    _match_cost_bits,
+    _saved_bits,
+    build_dictionary,
+    build_dictionary_from_path,
+    evaluate_dictionary_tradeoff,
+    find_best_trim_threshold,
+    find_knee,
+    pack_dictionary,
+    score_substrings,
+    select_candidates,
+)
+from tamp_tpu.dictionary import initialize_dictionary
+
+
+def _corpus(n_samples=24, seed=7):
+    """Text-like samples sharing a few heavy phrases."""
+    rng = random.Random(seed)
+    phrases = [
+        b"GET /api/v1/sensors/temperature HTTP/1.1\r\n",
+        b"Content-Type: application/json\r\n",
+        b'{"device_id": "node-',
+        b'", "status": "ok"}',
+    ]
+    samples = []
+    for _ in range(n_samples):
+        parts = []
+        for _ in range(rng.randint(3, 8)):
+            parts.append(rng.choice(phrases))
+            parts.append(bytes(rng.randrange(97, 123) for _ in range(rng.randint(0, 6))))
+        samples.append(b"".join(parts))
+    return samples
+
+
+# ---- cost model -------------------------------------------------------------
+
+def test_match_cost_bits_basic_tokens():
+    # window=10, literal=8 -> minp=2; a minp-size match costs
+    # huffman[0] (flag incl.) + window bits.
+    minp = compute_min_pattern_size(10, 8)
+    assert minp == 2
+    assert _match_cost_bits(minp, 10, 8, extended=False) == HUFFMAN_LENGTHS[0] + 10
+    assert _match_cost_bits(minp + 13, 10, 8, False) == HUFFMAN_LENGTHS[13] + 10
+    # below minp: literal cost
+    assert _match_cost_bits(1, 10, 8, False) == 9
+
+
+def test_match_cost_extended_and_chained():
+    minp = compute_min_pattern_size(10, 8)
+    # extended token: EXT huffman + secondary huffman (no flag) + 3 + window
+    c = _match_cost_bits(minp + 14, 10, 8, extended=True)
+    assert c == HUFFMAN_LENGTHS[13] + (HUFFMAN_LENGTHS[0] - 1) + 3 + 10
+    # v1 must chain multiple basic tokens for the same length: strictly costlier
+    assert _match_cost_bits(minp + 14, 10, 8, extended=False) > c
+    # saved bits grows with length
+    saves = [_saved_bits(n, 10, 8, True) for n in range(2, 40)]
+    assert saves == sorted(saves)
+    assert saves[-1] > 0
+
+
+# ---- scoring ----------------------------------------------------------------
+
+def test_score_substrings_finds_heavy_phrase():
+    scored = score_substrings(_corpus(), window=10, literal=8)
+    assert scored, "no candidates scored"
+    # scores sorted descending
+    assert [s for s, _ in scored] == sorted((s for s, _ in scored), reverse=True)
+    top_blob = b"|".join(g for _, g in scored[:50])
+    assert b"temperature" in top_blob or b"application/json" in top_blob
+
+
+def test_score_substrings_min_count_prunes_singletons():
+    samples = [b"abcdefgh_unique_once", b"zzzz_different_zzzz"]
+    scored = score_substrings(samples, window=10, literal=8, min_count=2)
+    for _, g in scored:
+        # every candidate must occur >= 2 times across the corpus
+        assert sum(s.count(g) for s in samples) >= 2
+
+
+def test_score_substrings_empty_corpus():
+    assert score_substrings([], window=10, literal=8) == []
+    assert score_substrings([b""], window=10, literal=8) == []
+
+
+# ---- selection & packing ----------------------------------------------------
+
+def test_select_candidates_skips_covered_substrings():
+    scored = [(100, b"hello world"), (90, b"lo wor"), (80, b"goodbye")]
+    chosen = select_candidates(scored, capacity=64)
+    texts = [g for _, g in chosen]
+    assert b"hello world" in texts
+    assert b"lo wor" not in texts  # covered by "hello world"
+    assert b"goodbye" in texts
+
+
+def test_select_candidates_respects_capacity():
+    scored = [(10 - i, bytes([65 + i]) * 10) for i in range(10)]
+    chosen = select_candidates(scored, capacity=25)
+    assert sum(len(g) for _, g in chosen) <= 25
+
+
+def test_pack_dictionary_rightmost_most_valuable():
+    size = 256
+    chosen = [(1000, b"DENSEST!"), (10, b"sparse-entry-sparse")]
+    out = pack_dictionary(chosen, size)
+    assert len(out) == size
+    # densest entry occupies the right edge
+    assert bytes(out[-8:]) == b"DENSEST!"
+    assert bytes(out[-8 - 19 : -8]) == b"sparse-entry-sparse"
+    # untouched prefix equals the default initialized window
+    base = initialize_dictionary(size)
+    assert bytes(out[: size - 27]) == bytes(base[: size - 27])
+
+
+def test_pack_dictionary_overflow_entries_dropped():
+    out = pack_dictionary([(5, b"X" * 40), (4, b"Y" * 40)], 64)
+    assert len(out) == 64
+    assert bytes(out[-40:]) == b"X" * 40  # denser fits; Y (40 more) cannot
+
+
+# ---- end-to-end builds ------------------------------------------------------
+
+def test_build_dictionary_improves_compression():
+    samples = _corpus()
+    d = build_dictionary(samples, window=10)
+    assert len(d) == 1 << 10
+    with_dict = evaluate_dictionary_tradeoff(samples, bytes(d), window=10)
+    without = sum(len(tamp_tpu.compress(s, window=10)) for s in samples)
+    assert with_dict < without
+
+
+def test_build_dictionary_size_validation():
+    with pytest.raises(ValueError):
+        build_dictionary([b"abc" * 50], window=8, size=512)
+
+
+def test_built_dictionary_round_trips_and_reference_interop(ref_tamp):
+    samples = _corpus()
+    d = bytes(build_dictionary(samples, window=10))
+    payload = samples[0] + samples[1]
+    blob = tamp_tpu.compress(payload, window=10, dictionary=d)
+    assert tamp_tpu.decompress(blob, dictionary=d) == payload
+    if ref_tamp is not None:
+        assert ref_tamp.decompress(blob, dictionary=bytearray(d)) == payload
+        # and equal bytes from the reference encoder at the same settings
+        ref_blob = ref_tamp.compress(payload, window=10, dictionary=bytearray(d))
+        ours = tamp_tpu.compress(payload, window=10, dictionary=d)
+        assert ours == ref_blob
+
+
+def test_evaluate_tradeoff_expands_undersized_dictionary():
+    samples = _corpus(n_samples=4)
+    small = bytes(build_dictionary(samples, window=10, size=256)[-256:])
+    total = evaluate_dictionary_tradeoff(samples, small, window=10)
+    assert total > 0  # undersized input expanded onto the default base
+
+
+def test_find_best_trim_threshold_sweeps():
+    samples = _corpus(n_samples=8)
+    th, d = find_best_trim_threshold(samples, window=8, thresholds=(6, 12))
+    assert th in (6, 12)
+    assert len(d) == 256
+    # auto_trim plumbs through build_dictionary
+    d2 = build_dictionary(samples, window=8, auto_trim=True)
+    assert len(d2) == 256
+
+
+# ---- knee analysis ----------------------------------------------------------
+
+def test_find_knee_picks_marginal_return_point():
+    sizes = [0, 100, 200, 300, 400]
+    gains = [0, 1000, 1900, 1950, 1960]  # returns collapse after 200
+    assert find_knee(sizes, gains) == 2
+
+
+def test_find_knee_edge_cases():
+    assert find_knee([], []) == 0
+    assert find_knee([100], [5]) == 0
+    assert find_knee([0, 100], [0, 10]) == 1  # linear: last point
+
+
+# ---- CLI path helper --------------------------------------------------------
+
+def test_build_dictionary_from_path_modes(tmp_path):
+    samples = _corpus(n_samples=6)
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    for i, s in enumerate(samples):
+        (corpus_dir / f"s{i}.bin").write_bytes(s)
+    d = build_dictionary_from_path(corpus_dir, window=8)
+    assert len(d) == 256
+
+    delim_file = tmp_path / "corpus.txt"
+    delim_file.write_bytes(b"\n".join(samples))
+    d2 = build_dictionary_from_path(delim_file, window=8, delimiter="\n")
+    assert len(d2) == 256
+
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"")
+    with pytest.raises(SystemExit):
+        build_dictionary_from_path(empty, window=8)
