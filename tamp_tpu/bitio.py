@@ -100,8 +100,12 @@ class BitReader:
             b = self.f.read(1)
             if not b:
                 raise EOFError
-            self._acc = (self._acc << 8) | b[0]
-            self._nbits += 8
+            # Non-conforming file objects may return more than requested;
+            # every returned byte is stream data, so consume them all
+            # (dropping the excess would silently corrupt the bit stream).
+            for byte in b:
+                self._acc = (self._acc << 8) | byte
+            self._nbits += 8 * len(b)
         shift = self._nbits - nbits
         value = self._acc >> shift
         self._acc &= (1 << shift) - 1
