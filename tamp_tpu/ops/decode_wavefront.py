@@ -295,16 +295,23 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
                       window: int, literal: int, extended: bool, more: bool,
                       max_out: int):
     """Decode one padded payload. Returns (out[max_out] int32, out_len, err)."""
-    W = 1 << window
-    nb_valid = nbytes * 8
     T_max = NBP // (1 + literal) + 2
-
     nxt, kind_b, cnt_b, idx_b, invalid_b, incomplete_b = _speculative_parse(
-        pp32, nb_valid, NBP, window, literal, extended)
+        pp32, nbytes * 8, NBP, window, literal, extended)
     del invalid_b  # the complete prefix code leaves no undecodable pattern
-
-    err = jnp.int32(ERR_OK)
     starts, T = _token_table(nxt, incomplete_b, NBP, literal, T_max)
+    return _wavefront_finish(
+        starts, T, kind_b, cnt_b, idx_b, dict_init, dict_reset,
+        window=window, literal=literal, more=more, max_out=max_out,
+        T_max=T_max)
+
+
+def _wavefront_finish(starts, T, kind_b, cnt_b, idx_b, dict_init, dict_reset,
+                      *, window: int, literal: int, more: bool, max_out: int,
+                      T_max: int):
+    """Stages after boundary resolution: placement, window fold, values."""
+    W = 1 << window
+    err = jnp.int32(ERR_OK)
 
     active = jnp.arange(T_max, dtype=jnp.int32) < T
     tk = jnp.where(active, kind_b[starts], K_PAD)
@@ -450,14 +457,35 @@ def _wavefront_kernel(pp32, nbytes, dict_init, dict_reset, *, NBP: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NBP", "window", "literal", "extended", "more", "max_out"),
+    static_argnames=(
+        "NBP", "window", "literal", "extended", "more", "max_out", "chase"),
 )
 def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
-                     literal, extended, more, max_out):
-    fn = functools.partial(
-        _wavefront_kernel, NBP=NBP, window=window, literal=literal,
-        extended=extended, more=more, max_out=max_out)
-    return jax.vmap(lambda b, n: fn(b, n, dict_init, dict_reset))(blobs, nbytes)
+                     literal, extended, more, max_out, chase=False):
+    if not chase:
+        fn = functools.partial(
+            _wavefront_kernel, NBP=NBP, window=window, literal=literal,
+            extended=extended, more=more, max_out=max_out)
+        return jax.vmap(
+            lambda b, n: fn(b, n, dict_init, dict_reset))(blobs, nbytes)
+
+    # Boundary resolution via the Pallas sequential-chase kernel (TPU): the
+    # per-bit parse and the finish stages stay vmapped XLA; the chase
+    # replaces pointer doubling + entry scan + walks (the gather-bound 45%
+    # of this kernel — see ops/token_chase_pallas.py).
+    from .token_chase_pallas import token_table_chase
+
+    T_max = NBP // (1 + literal) + 2
+    nxt, kind_b, cnt_b, idx_b, _inv, _inc = jax.vmap(
+        lambda b, n: _speculative_parse(b, n * 8, NBP, window, literal,
+                                        extended))(blobs, nbytes)
+    starts, T = token_table_chase(nxt, NBP, T_max)
+    fin = functools.partial(
+        _wavefront_finish, window=window, literal=literal, more=more,
+        max_out=max_out, T_max=T_max)
+    return jax.vmap(
+        lambda s, t, kb, cb, ib: fin(s, t, kb, cb, ib, dict_init, dict_reset)
+    )(starts, T, kind_b, cnt_b, idx_b)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -508,12 +536,17 @@ def _decode_group(payloads, *, window, literal, extended, more, dict_init,
     for i, p in enumerate(payloads):
         blobs[i, : len(p)] = np.frombuffer(p, np.uint8)
         nbytes[i] = len(p)
+    import os
+
+    from .token_chase_pallas import chase_available
+
+    chase = chase_available() and os.environ.get("TAMP_TPU_CHASE", "1") != "0"
     outs, lens, errs = _wavefront_batch(
         jnp.asarray(blobs), jnp.asarray(nbytes),
         jnp.asarray(np.asarray(dict_init, np.int32)),
         jnp.asarray(np.asarray(dict_reset, np.int32)),
         NBP=8 * L, window=window, literal=literal, extended=extended,
-        more=more, max_out=max_out)
+        more=more, max_out=max_out, chase=chase)
     return np.asarray(outs).astype(np.uint8), np.asarray(lens), np.asarray(errs)
 
 

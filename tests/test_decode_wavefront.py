@@ -11,6 +11,7 @@ Runs on the virtual CPU mesh (conftest); the same jitted program serves TPU.
 
 import io
 
+import jax
 import pytest
 
 import tamp_tpu
@@ -140,3 +141,67 @@ def test_corrupted_and_truncated_streams(rng):
         if not comp:
             continue
         _check(bytes(comp))
+
+
+def test_pallas_chase_matches_xla_table(rng):
+    """The Pallas sequential-chase boundary kernel (interpret mode here;
+    compiled on TPU) produces the exact token table of the XLA
+    doubling+scan+walks path, and the chase-driven full batch decodes
+    byte-identically — including ragged multi-shard batches, FLUSH
+    alignment, and trailing-incomplete-token drops."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tamp_tpu.ops import decode_wavefront as wf
+    from tamp_tpu.ops.token_chase_pallas import token_table_chase
+
+    payloads = []
+    raws = []
+    for n in (0, 1, 700, 5000):
+        raw = bytes(rng.randbytes(max(n // 3, 1))) + b"chase kernel " * (n // 13)
+        raw = raw[: max(n, 1)]
+        blob = tamp_tpu.compress(raw, window=10, literal=8)
+        raws.append(raw)
+        payloads.append(blob[1:])
+    # a flushed stream (byte-align token mid-stream)
+    f = io.BytesIO()
+    c = tamp_tpu.Compressor(f, window=10)
+    c.write(b"flush one ")
+    c.flush(write_token=True)
+    c.write(b"flush two " * 9)
+    c.flush(write_token=False)
+    raws.append(b"flush one " + b"flush two " * 9)
+    payloads.append(f.getvalue()[1:])
+
+    L = wf._pow2_bucket(max(len(p) for p in payloads), 64)
+    NBP = 8 * L
+    T_max = NBP // 9 + 2
+    S = len(payloads)
+    blobs = np.zeros((S, L + 8), np.uint32)
+    nbytes = np.zeros(S, np.int32)
+    for i, p in enumerate(payloads):
+        blobs[i, : len(p)] = np.frombuffer(p, np.uint8)
+        nbytes[i] = len(p)
+
+    nxt, _k, _c, _i, _inv, inc = jax.vmap(
+        lambda b, n: wf._speculative_parse(b, n * 8, NBP, 10, 8, True)
+    )(jnp.asarray(blobs), jnp.asarray(nbytes))
+    s_ref, t_ref = jax.vmap(
+        lambda n, i: wf._token_table(n, i, NBP, 8, T_max))(nxt, inc)
+    s_new, t_new = token_table_chase(nxt, NBP, T_max, interpret=True)
+    assert bool(jnp.all(t_ref == t_new))
+    assert bool(jnp.all(s_ref == s_new))
+
+    from tamp_tpu.dictionary import dictionary_array
+
+    d = jnp.asarray(dictionary_array(1024, literal=8).astype(np.int32))
+    max_out = wf._pow2_bucket(max(len(r) for r in raws), 1024)
+    kw = dict(NBP=NBP, window=10, literal=8, extended=True, more=False,
+              max_out=max_out)
+    o1, l1, e1 = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray(nbytes), d, d, chase=False, **kw)
+    o2, l2, e2 = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray(nbytes), d, d, chase=True, **kw)
+    assert bool(jnp.all(o1 == o2)) and bool(jnp.all(l1 == l2))
+    for i, raw in enumerate(raws):
+        assert bytes(np.asarray(o2[i, : int(l2[i])], np.uint8)) == raw
