@@ -1,0 +1,314 @@
+"""Pallas TPU kernel: stream-commit Tamp decode.
+
+Architecture: the wavefront decoder's *speculative per-bit parse* stays on
+the VPU (ops/decode_wavefront._speculative_parse — dense, parallel, cheap),
+but everything after boundary-speculation — boundary resolution, window
+fold, placement, value resolution — collapses into ONE sequential pass on
+the scalar core: chase the token chain through SMEM tiles of the parse
+outputs and *commit* each token against an SMEM-resident window ring,
+streaming decoded bytes back to HBM in 512-byte chunks.
+
+Why this wins on TPU: the XLA wavefront stages pay ~14 ns/element serial
+gathers over megabyte HBM arrays, many rounds of them; the scalar pass
+does a handful of SMEM operations (a few ns each) per decoded *byte*, and
+the format's loop-carried window dependence — the thing the parallel
+formulation spends all its machinery circumventing — is free in a
+sequential commit.  The parallel stages remain (decode_wavefront) as the
+oracle and the shard_map mesh path.
+
+Semantics: identical to the native decoder (differential tests in
+tests/test_decode_wavefront.py); window-write rules follow the reference
+(basic matches write fully with wrap; RLE writes are capped at 8 bytes and
+never wrap; extended-match writes never wrap — reference
+tamp/_c_src/tamp/decompressor.c decode_rle / decode_extended_match,
+re-derived via engine/pdecode_np).
+
+Each shard's per-bit parse results are packed into two int32 streams
+(``nxt`` and ``kind|cnt<<3|idx<<11``) and gridded in 512-bit SMEM tiles;
+carries (bit position, output position, ring head, FLUSH state, error)
+live in SMEM scratch across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._jaxinit import ensure_jax_cache
+
+ensure_jax_cache()
+
+__all__ = ["commit_decode_batch", "commit_available"]
+
+TILE = 512        # parse-stream bits per grid step (2 KiB SMEM per stream)
+OUT_CHUNK = 512   # decoded bytes per HBM flush (SMEM buffer is 2 chunks)
+
+# error codes (shared with decode_wavefront)
+ERR_OK, ERR_INVALID, ERR_OOB, ERR_OVERFLOW = 0, 1, 2, 3
+K_LIT, K_MATCH, K_RLE, K_EXT, K_FLUSH = 0, 1, 2, 3, 4
+
+# SMEM state slots
+_C, _OUT, _POS, _LWF, _ERR, _FLUSHED = 0, 1, 2, 3, 4, 5
+
+
+def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
+            errs_ref, ring, obuf0, obuf1, tmp, st, dma_sem, *, W: int, more: bool,
+            max_out: int):
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    nbp = pl.num_programs(1) * TILE
+    base = i * TILE
+
+    def load_ring(src_ref):
+        # scalar copy (SMEM -> SMEM); a DMA into SMEM scratch doesn't lower
+        def rbody(k, _):
+            ring[k] = src_ref[0, 0, k]
+            return 0
+
+        lax.fori_loop(0, W, rbody, 0)
+
+    @pl.when(i == 0)
+    def _():
+        load_ring(dinit_ref)
+        st[_C] = 0
+        st[_OUT] = 0
+        st[_POS] = 0
+        st[_LWF] = 0
+        st[_ERR] = ERR_OK
+        st[_FLUSHED] = 0
+
+    def cond(carry):
+        c = carry[0]
+        return (c >= base) & (c < base + TILE) & (carry[5] == ERR_OK)
+
+    def body(carry):
+        c, out_pos, pos, lwf, flushed, err = carry
+        n = nxt_ref[0, 0, c - base]
+        p = pk_ref[0, 0, c - base]
+        kind = p & 7
+        cnt = (p >> 3) & 0xFF
+        idx = p >> 11
+
+        is_inc = n >= nbp  # trailing incomplete token: drop and stop
+        is_fl = kind == K_FLUSH
+        is_lit = kind == K_LIT
+        is_rle = kind == K_RLE
+        is_m = (kind == K_MATCH) | (kind == K_EXT)
+
+        err = jnp.where(
+            (~is_inc) & is_m & (idx + cnt > W), jnp.int32(ERR_OOB), err)
+        err = jnp.where(
+            (~is_inc) & (~is_fl) & (out_pos + cnt > max_out),
+            jnp.int32(ERR_OVERFLOW), err)
+        emit = (~is_inc) & (~is_fl) & (err == ERR_OK)
+
+        # double FLUSH on a more_header stream: reset the window in place
+        if more:
+            do_reset = (~is_inc) & is_fl & (lwf == 1) & (err == ERR_OK)
+
+            @pl.when(do_reset)
+            def _():
+                load_ring(dreset_ref)
+
+            pos = jnp.where(do_reset, 0, pos)
+        # "previous token was FLUSH": a run of FLUSHes resets on every pair
+        # overlap, matching the XLA model's fl & prev_fl
+        lwf = jnp.where(is_fl, 1, 0)
+
+        # window-write cap: basic matches and literals always write (with
+        # wrap); RLE writes min(cnt, 8) and never wraps; extended matches
+        # never wrap
+        wr = jnp.where(
+            is_rle, jnp.minimum(jnp.minimum(cnt, 8), W - pos),
+            jnp.where(kind == K_EXT, jnp.minimum(cnt, W - pos), cnt))
+        rle_b = ring[jnp.where(pos == 0, W - 1, pos - 1)]
+
+        # Match copies use SNAPSHOT semantics: the reference's window copy
+        # goes reverse-order on overlap and the output copy reads the
+        # pristine window (tamp/_c_src/tamp/common.c:58-86 tamp_window_copy),
+        # so a source byte is never one this token already wrote.  Stage the
+        # source bytes before emitting.
+        @pl.when(emit & is_m)
+        def _():
+            def sbody(j, _):
+                tmp[j] = ring[jnp.clip(idx + j, 0, W - 1)]
+                return 0
+
+            lax.fori_loop(0, cnt, sbody, 0)
+
+        def bcond(bc):
+            return bc[0] < cnt
+
+        def bbody(bc):
+            j, pos, out_pos = bc
+            b = jnp.where(
+                is_lit, idx, jnp.where(is_rle, rle_b, tmp[j]))
+            # two separate chunk buffers: Mosaic cannot slice an SMEM
+            # scratch at a dynamic (or sub-tile) offset for the DMA, so
+            # each chunk is a whole ref, selected by predication
+            slot = (out_pos // OUT_CHUNK) % 2
+            k = out_pos % OUT_CHUNK
+
+            @pl.when(slot == 0)
+            def _():
+                obuf0[0, k] = b
+
+            @pl.when(slot == 1)
+            def _():
+                obuf1[0, k] = b
+            do_w = is_lit | (j < wr)
+
+            @pl.when(do_w)
+            def _():
+                ring[pos] = b
+
+            pos = jnp.where(do_w, jnp.where(pos + 1 == W, 0, pos + 1), pos)
+            return j + 1, pos, out_pos + 1
+
+        j0 = jnp.int32(0)
+        _j, pos, out_pos = lax.while_loop(
+            bcond, bbody,
+            (jnp.where(emit, j0, cnt), pos, out_pos))
+
+        # flush completed chunks (a token adds <= 241 bytes, so at most one
+        # chunk completes per token; synchronous copy keeps buffer reuse
+        # safe).  ``flushed`` counts CHUNKS so the HBM offset is written as
+        # chunk * OUT_CHUNK — a form Mosaic can prove 128-divisible.
+        done = out_pos // OUT_CHUNK
+
+        def fcond(ch):
+            return ch < done
+
+        def fbody(ch):
+            slot = ch % 2
+            dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
+
+            @pl.when(slot == 0)
+            def _():
+                cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(slot == 1)
+            def _():
+                cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
+                cp.start()
+                cp.wait()
+
+            return ch + 1
+
+        flushed = lax.while_loop(fcond, fbody, flushed)
+
+        c = jnp.where(is_inc | (err != ERR_OK), nbp, n)
+        return c, out_pos, pos, lwf, flushed, err
+
+    c, out_pos, pos, lwf, flushed, err = lax.while_loop(
+        cond, body,
+        (st[_C], st[_OUT], st[_POS], st[_LWF], st[_FLUSHED], st[_ERR]))
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        # flush the trailing partial chunk (padded region; masked by length)
+        @pl.when(out_pos > flushed * OUT_CHUNK)
+        def _():
+            slot = flushed % 2
+            dst = out_ref.at[s, :, pl.ds(flushed * OUT_CHUNK, OUT_CHUNK)]
+
+            @pl.when(slot == 0)
+            def _():
+                cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(slot == 1)
+            def _():
+                cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
+                cp.start()
+                cp.wait()
+
+    st[_C] = c
+    st[_OUT] = out_pos
+    st[_POS] = pos
+    st[_LWF] = lwf
+    st[_FLUSHED] = flushed
+    st[_ERR] = err
+    lens_ref[0, 0, i] = out_pos
+    errs_ref[0, 0, i] = err
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("NBP", "W", "more", "max_out", "interpret"))
+def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
+                        W: int, more: bool, max_out: int,
+                        interpret: bool = False):
+    """Sequential-commit decode of S parsed shards.
+
+    ``nxt``/``packed``: (S, NBP) int32 parse streams.  Returns
+    (out (S, max_out) int32, out_len (S,), err (S,)).
+    """
+    S = nxt.shape[0]
+    n_tiles = NBP // TILE
+    mpad = -(-max_out // OUT_CHUNK) * OUT_CHUNK + OUT_CHUNK
+    kern = functools.partial(_kernel, W=W, more=more, max_out=max_out)
+    out, lens, errs = pl.pallas_call(
+        kern,
+        grid=(S, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda s, i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W), lambda s, i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, n_tiles), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_tiles), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 1, mpad), jnp.int32),
+            jax.ShapeDtypeStruct((S, 1, n_tiles), jnp.int32),
+            jax.ShapeDtypeStruct((S, 1, n_tiles), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((256,), jnp.int32),
+            pltpu.SMEM((6,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        nxt.reshape(S, 1, NBP),
+        packed.reshape(S, 1, NBP),
+        dict_init.reshape(1, 1, W),
+        dict_reset.reshape(1, 1, W),
+    )
+    out = out[:, 0, :max_out]
+    lens_f = lens[:, 0, n_tiles - 1]
+    # zero the padding (flush chunks carry stale buffer bytes past out_len)
+    # so the contract matches the XLA wavefront kernel exactly
+    out = jnp.where(
+        jnp.arange(max_out, dtype=jnp.int32)[None, :] < lens_f[:, None],
+        out, 0)
+    return out, lens_f, errs[:, 0, n_tiles - 1]
+
+
+@functools.lru_cache(maxsize=1)
+def commit_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

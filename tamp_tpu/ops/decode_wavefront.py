@@ -458,27 +458,37 @@ def _wavefront_finish(starts, T, kind_b, cnt_b, idx_b, dict_init, dict_reset,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "NBP", "window", "literal", "extended", "more", "max_out", "chase"),
+        "NBP", "window", "literal", "extended", "more", "max_out", "mode"),
 )
 def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
-                     literal, extended, more, max_out, chase=False):
-    if not chase:
+                     literal, extended, more, max_out, mode="xla"):
+    if mode == "xla":
         fn = functools.partial(
             _wavefront_kernel, NBP=NBP, window=window, literal=literal,
             extended=extended, more=more, max_out=max_out)
         return jax.vmap(
             lambda b, n: fn(b, n, dict_init, dict_reset))(blobs, nbytes)
 
-    # Boundary resolution via the Pallas sequential-chase kernel (TPU): the
-    # per-bit parse and the finish stages stay vmapped XLA; the chase
-    # replaces pointer doubling + entry scan + walks (the gather-bound 45%
-    # of this kernel — see ops/token_chase_pallas.py).
-    from .token_chase_pallas import token_table_chase
-
-    T_max = NBP // (1 + literal) + 2
     nxt, kind_b, cnt_b, idx_b, _inv, _inc = jax.vmap(
         lambda b, n: _speculative_parse(b, n * 8, NBP, window, literal,
                                         extended))(blobs, nbytes)
+
+    if mode == "commit":
+        # Stream-commit decode (TPU): the parallel VPU parse feeds a
+        # sequential scalar-core commit against an SMEM window ring — see
+        # ops/decode_commit_pallas.py.
+        from .decode_commit_pallas import commit_available, commit_decode_batch
+
+        packed = kind_b | (cnt_b << 3) | (idx_b << 11)
+        return commit_decode_batch(
+            nxt, packed, dict_init, dict_reset, NBP=NBP, W=1 << window,
+            more=more, max_out=max_out, interpret=not commit_available())
+
+    # mode == "chase": boundary resolution via the Pallas sequential-chase
+    # kernel; the finish stages stay vmapped XLA (ops/token_chase_pallas.py).
+    from .token_chase_pallas import token_table_chase
+
+    T_max = NBP // (1 + literal) + 2
     starts, T = token_table_chase(nxt, NBP, T_max)
     fin = functools.partial(
         _wavefront_finish, window=window, literal=literal, more=more,
@@ -540,13 +550,21 @@ def _decode_group(payloads, *, window, literal, extended, more, dict_init,
 
     from .token_chase_pallas import chase_available
 
-    chase = chase_available() and os.environ.get("TAMP_TPU_CHASE", "1") != "0"
+    # Fastest available path: full stream-commit kernel (SMEM ring fits
+    # windows <= 8 KiB), else Pallas boundary chase + XLA finish, else
+    # pure-XLA wavefront.  TAMP_TPU_DECODE=xla|chase|commit overrides.
+    mode = os.environ.get("TAMP_TPU_DECODE")
+    if mode not in ("xla", "chase", "commit"):
+        if chase_available():
+            mode = "commit" if (1 << window) <= 8192 else "chase"
+        else:
+            mode = "xla"
     outs, lens, errs = _wavefront_batch(
         jnp.asarray(blobs), jnp.asarray(nbytes),
         jnp.asarray(np.asarray(dict_init, np.int32)),
         jnp.asarray(np.asarray(dict_reset, np.int32)),
         NBP=8 * L, window=window, literal=literal, extended=extended,
-        more=more, max_out=max_out, chase=chase)
+        more=more, max_out=max_out, mode=mode)
     return np.asarray(outs).astype(np.uint8), np.asarray(lens), np.asarray(errs)
 
 

@@ -9,10 +9,20 @@ import os
 import random
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU mesh even when the shell exports JAX_PLATFORMS (the axon
+# TPU tunnel makes test runs slow and flaky); set TAMP_TPU_TEST_PLATFORM to
+# run the suite against another platform deliberately.  NB: the axon plugin
+# ignores the JAX_PLATFORMS *env var*, so the jax.config update below is
+# the one that actually takes effect.
+_plat = os.environ.get("TAMP_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _plat)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -199,9 +199,11 @@ def test_pallas_chase_matches_xla_table(rng):
     kw = dict(NBP=NBP, window=10, literal=8, extended=True, more=False,
               max_out=max_out)
     o1, l1, e1 = wf._wavefront_batch(
-        jnp.asarray(blobs), jnp.asarray(nbytes), d, d, chase=False, **kw)
-    o2, l2, e2 = wf._wavefront_batch(
-        jnp.asarray(blobs), jnp.asarray(nbytes), d, d, chase=True, **kw)
-    assert bool(jnp.all(o1 == o2)) and bool(jnp.all(l1 == l2))
-    for i, raw in enumerate(raws):
-        assert bytes(np.asarray(o2[i, : int(l2[i])], np.uint8)) == raw
+        jnp.asarray(blobs), jnp.asarray(nbytes), d, d, mode="xla", **kw)
+    for mode in ("chase", "commit"):
+        o2, l2, e2 = wf._wavefront_batch(
+            jnp.asarray(blobs), jnp.asarray(nbytes), d, d, mode=mode, **kw)
+        assert bool(jnp.all(o1 == o2)) and bool(jnp.all(l1 == l2)), mode
+        assert bool(jnp.all(e1 == e2)), mode
+        for i, raw in enumerate(raws):
+            assert bytes(np.asarray(o2[i, : int(l2[i])], np.uint8)) == raw
