@@ -42,6 +42,170 @@ def device_search_fn(window: int, literal: int, extended: bool):
     return search
 
 
+def encode_v1_device_commit(
+    shards,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    lazy_matching: bool = False,
+    search_fn=None,
+    interpret: bool | None = None,
+) -> list[bytes]:
+    """Fully on-chip v1 encode of a batch of shards.
+
+    The MXU search kernel computes the match tables and the Pallas
+    stream-commit kernel (ops/encode_commit_pallas.py) runs the greedy
+    token walk + bit pack on the scalar core; the host only prepends the
+    header and finishes each shard's final < 16 bytes with the
+    parity-proven Python committer (the table cap cannot reproduce the
+    reference's shrinking tail search tie-breaks).  Output is
+    byte-identical to ``encode_v1`` / the reference encoder.
+    """
+    import numpy as np
+
+    from ..constants import compute_min_pattern_size
+    from ..exceptions import ExcessBitsError
+    from ..ops.encode_commit_pallas import (
+        S_ACC, S_AN, S_CIDX, S_CSZ, S_ERR, S_NBYTES, S_T, TILE,
+        encode_commit_available, encode_commit_batch,
+    )
+    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS
+    from .commit import ring_find_longest, ring_model_snapshot
+    from .encode import build_header, model_history
+    from .search_np import match_tables
+
+    if interpret is None:
+        interpret = not encode_commit_available()
+    W = 1 << window
+    minp = compute_min_pattern_size(window, literal)
+    maxpat = minp + 13
+    cap = min(16, maxpat)
+    lit_flag = 1 << literal
+    lit_limit = 256 if literal == 8 else lit_flag
+
+    datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in shards]
+    S = len(datas)
+    if S == 0:
+        return []
+    maxN = max(d.shape[0] for d in datas)
+    NP = 1 << max(maxN, TILE, 1).bit_length()  # pow2, TILE-aligned
+    if NP < maxN:
+        NP <<= 1
+
+    searcher = search_fn or match_tables
+    packed = np.zeros((S, NP), np.int32)
+    probe = np.zeros((S, NP), np.int32)
+    npos = np.zeros(S, np.int32)
+    histories = []
+    for i, data in enumerate(datas):
+        dict_arr, C = model_history(data, window, literal, False, None)
+        histories.append(C)
+        npos[i] = data.shape[0]
+        if data.shape[0] == 0:
+            continue
+        tables = searcher(data, dict_arr, window, compute_probe=lazy_matching)
+        flen, fidx = ((tables.len16, tables.idx16) if cap == 16
+                      else (tables.len15, tables.idx15))
+        n = data.shape[0]
+        packed[i, :n] = (
+            (flen[:n].astype(np.int32) << 23)
+            | (fidx[:n].astype(np.int32) << 8)
+            | data.astype(np.int32))
+        if lazy_matching:
+            probe[i, :n] = (
+                (tables.probe_len[:n].astype(np.int32) << 15)
+                | tables.probe_idx[:n].astype(np.int32))
+
+    import jax.numpy as jnp
+
+    max_out = NP + NP // 8 + 64
+    out, state = encode_commit_batch(
+        jnp.asarray(packed), jnp.asarray(probe), jnp.asarray(npos),
+        NP=NP, window=window, literal=literal, lazy=lazy_matching,
+        max_out=max_out, interpret=interpret)
+    out = np.asarray(out)
+    state = np.asarray(state)
+
+    results: list[bytes] = []
+    for i, data in enumerate(datas):
+        st = state[i]
+        if st[S_ERR] != 0:
+            raise ExcessBitsError
+        N = int(npos[i])
+        body = out[i, : int(st[S_NBYTES])].astype(np.uint8).tobytes()
+        t = int(st[S_T])
+        acc = int(st[S_ACC])
+        an = int(st[S_AN])
+        cached = None
+        if lazy_matching and int(st[S_CIDX]) >= 0:
+            cached = (int(st[S_CIDX]), int(st[S_CSZ]))
+
+        # host tail: the reference's shrinking ring search for the last
+        # < 16 bytes (mirrors commit_v1's non-steady branch exactly)
+        fields: list[tuple[int, int]] = []
+        if t < N:
+            ring = ring_model_snapshot(histories[i], t, window)
+            tau_ring = t % W
+            while t < N:
+                rem = N - t
+                if lazy_matching and cached is not None:
+                    idx, size = cached
+                    cached = None
+                else:
+                    idx, size = ring_find_longest(
+                        ring, data[t : t + rem], minp, min(rem, maxpat))
+                pending = rem if rem < 16 else 16
+                if lazy_matching and minp <= size <= 8 and pending > size + 2:
+                    pix, psize = ring_find_longest(
+                        ring, data[t + 1 : t + rem], minp,
+                        min(rem - 1, maxpat))
+                    tau = t % W
+                    if psize > size and not (pix <= tau < pix + psize):
+                        b = int(data[t])
+                        if b >= lit_limit:
+                            raise ExcessBitsError
+                        fields.append((lit_flag | b, literal + 1))
+                        ring[tau_ring] = b
+                        tau_ring = (tau_ring + 1) % W
+                        cached = (pix, psize)
+                        t += 1
+                        continue
+                if size >= minp:
+                    sym = size - minp
+                    fields.append((
+                        (int(HUFFMAN_CODES[sym]) << window) | idx,
+                        int(HUFFMAN_LENGTHS[sym]) + window))
+                    for k in range(size):
+                        ring[tau_ring] = data[t + k]
+                        tau_ring = (tau_ring + 1) % W
+                    t += size
+                else:
+                    b = int(data[t])
+                    if b >= lit_limit:
+                        raise ExcessBitsError
+                    fields.append((lit_flag | b, literal + 1))
+                    ring[tau_ring] = b
+                    tau_ring = (tau_ring + 1) % W
+                    t += 1
+
+        # stitch: kernel bit remainder + tail fields + zero pad
+        tail = bytearray()
+        for v, nb in fields:
+            acc = (acc << nb) | v
+            an += nb
+            while an >= 8:
+                tail.append((acc >> (an - 8)) & 0xFF)
+                an -= 8
+                acc &= (1 << an) - 1
+        if an:
+            tail.append((acc << (8 - an)) & 0xFF)
+
+        (hv, hn), = build_header(window, literal, False, False, False)
+        assert hn == 8
+        results.append(bytes([hv]) + body + bytes(tail))
+    return results
+
+
 def encode_device(
     data,
     *,
