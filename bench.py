@@ -120,6 +120,47 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
     opt_dt = time.perf_counter() - t0
     assert bytes(decompress_sharded(blob_opt)) == data
 
+    # On-chip codec probe (killable subprocess: the TPU tunnel can stall):
+    # stream-commit decode + encode kernel rates and the container
+    # device-decode end-to-end rate, on a 2 MB slice.
+    device = None
+    dev_src = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+import jax
+if jax.default_backend() != "tpu":
+    raise SystemExit(1)
+from bench import build_corpus
+from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded_device
+data = build_corpus(2 << 20)
+blob = compress_sharded(data, engine="native", shard_size=1 << 20)
+out = decompress_sharded_device(blob)   # compile (cached across rounds)
+assert bytes(out) == data
+t0 = time.perf_counter()
+assert bytes(decompress_sharded_device(blob)) == data
+dec_s = time.perf_counter() - t0
+from tamp_tpu.engine.pipeline import device_search_fn, encode_v1_device_commit
+search = device_search_fn(10, 8, False)
+enc = encode_v1_device_commit([data[: 1 << 20]], window=10, literal=8,
+                              search_fn=search, interpret=False)[0]
+t0 = time.perf_counter()
+encode_v1_device_commit([data[: 1 << 20]], window=10, literal=8,
+                        search_fn=search, interpret=False)
+enc_s = time.perf_counter() - t0
+print(json.dumps({{
+    "container_decode_mb_s": round(len(data) / dec_s / 1e6, 2),
+    "v1_encode_mb_s": round((1 << 20) / enc_s / 1e6, 2),
+}}))
+""".format(root=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", dev_src],
+            capture_output=True, timeout=280, text=True,
+        )
+        device = _json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -134,6 +175,7 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
                 "decode_vs_baseline": round(dec_mbs / 184.0, 2),
                 "optimal_ratio": round(len(blob_opt) / len(data), 4),
                 "optimal_mb_s": round(len(data) / opt_dt / 1e6, 1),
+                **({"device": device} if device else {}),
             }
         )
     )
