@@ -282,6 +282,26 @@ def compress_sharded(
 
     data = bytes(data)
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
+    if engine == "device-commit":
+        # Fully on-chip v1 encode: MXU search + Pallas stream-commit, all
+        # shards in one batched kernel call (engine/pipeline); byte-identical
+        # to engine="native" at extended=False.
+        if extended:
+            raise ValueError(
+                "device-commit is v1-only (extended commit stays host-side)")
+        from ..engine.pipeline import encode_v1_device_commit
+        from ..ops.encode_commit_pallas import encode_commit_available
+        from ..ops.match_pallas import pallas_available
+
+        search = None
+        if encode_commit_available() and pallas_available():
+            from ..engine.pipeline import device_search_fn
+
+            search = device_search_fn(window, literal, False)
+        blobs = encode_v1_device_commit(
+            shards, window=window, literal=literal,
+            lazy_matching=lazy_matching, search_fn=search)
+        return _pack_frame(blobs, len(data), shard_size)
     jobs = [(s, window, literal, extended, lazy_matching, engine) for s in shards]
     if workers and len(shards) > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:

@@ -86,3 +86,20 @@ def test_roundtrips_through_reference_decoder():
     blob = encode_v1_device_commit([data], window=10, literal=8,
                                    interpret=True)[0]
     assert bytes(RefDecompressor(io.BytesIO(blob)).read()) == data
+
+
+def test_container_device_commit_engine():
+    """engine="device-commit" produces a container byte-identical to the
+    native engine at extended=False and round-trips."""
+    from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded
+
+    nrng = np.random.default_rng(23)
+    data = _corpus(40_000, nrng)
+    blob = compress_sharded(
+        data, engine="device-commit", extended=False, shard_size=1 << 14)
+    want = compress_sharded(
+        data, engine="native", extended=False, shard_size=1 << 14)
+    assert blob == want
+    assert bytes(decompress_sharded(blob)) == data
+    with pytest.raises(ValueError):
+        compress_sharded(data, engine="device-commit", extended=True)
