@@ -88,9 +88,7 @@ def encode_v1_device_commit(
     if S == 0:
         return []
     maxN = max(d.shape[0] for d in datas)
-    NP = 1 << max(maxN, TILE, 1).bit_length()  # pow2, TILE-aligned
-    if NP < maxN:
-        NP <<= 1
+    NP = 1 << (max(maxN, TILE, 1) - 1).bit_length()  # pow2 ceiling, TILE-aligned
 
     searcher = search_fn or match_tables
     packed = np.zeros((S, NP), np.int32)

@@ -207,3 +207,87 @@ def test_pallas_chase_matches_xla_table(rng):
         assert bool(jnp.all(e1 == e2)), mode
         for i, raw in enumerate(raws):
             assert bytes(np.asarray(o2[i, : int(l2[i])], np.uint8)) == raw
+
+
+def test_commit_mode_resets_dicts_and_errors(rng):
+    """Stream-commit kernel (interpret) vs XLA on the tricky flows: custom
+    dictionaries (init != reset), double-FLUSH dictionary resets on
+    more_header streams, small windows, and OOB/corrupt streams."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tamp_tpu
+    from tamp_tpu._native.stream import NativeCompressor
+    from tamp_tpu.dictionary import dictionary_array
+    from tamp_tpu.ops import decode_wavefront as wf
+
+    # a dictionary_reset stream: header + data, double-FLUSH, more data
+    f = io.BytesIO()
+    c = NativeCompressor(f, window=10, literal=8, extended=True,
+                         dictionary_reset=True)
+    c.write(b"first segment first segment " * 8)
+    c.reset_dictionary()
+    c.write(b"second segment second segment " * 8)
+    c.flush(write_token=False)
+    stream = f.getvalue()
+    want = bytes(_native.native_decompress(stream))
+
+    payload = stream[2:]  # header + reserved byte
+    L = wf._pow2_bucket(len(payload), 64)
+    NBP = 8 * L
+    blobs = np.zeros((1, L + 8), np.uint32)
+    blobs[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    d = jnp.asarray(dictionary_array(1024, literal=8).astype(np.int32))
+    kw = dict(NBP=NBP, window=10, literal=8, extended=True, more=True,
+              max_out=wf._pow2_bucket(len(want), 1024))
+    nbs = jnp.asarray([len(payload)], np.int32)
+    o1, l1, e1 = wf._wavefront_batch(
+        jnp.asarray(blobs), nbs, d, d, mode="xla", **kw)
+    o2, l2, e2 = wf._wavefront_batch(
+        jnp.asarray(blobs), nbs, d, d, mode="commit", **kw)
+    assert bool(jnp.all(o1 == o2)) and int(l1[0]) == int(l2[0])
+    assert bytes(np.asarray(o2[0, : int(l2[0])], np.uint8)) == want
+
+    # small window + narrow literal config through commit
+    data = bytes(b & 31 for b in b"abcabcabc config sweep " * 20)
+    blob = tamp_tpu.compress(data, window=8, literal=5)
+    payload = blob[1:]
+    L = wf._pow2_bucket(len(payload), 64)
+    NBP = 8 * L
+    blobs = np.zeros((1, L + 8), np.uint32)
+    blobs[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    d8 = jnp.asarray(dictionary_array(256, literal=5).astype(np.int32))
+    kw = dict(NBP=NBP, window=8, literal=5, extended=True, more=False,
+              max_out=1024)
+    o1, l1, _ = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray([len(payload)], np.int32),
+        d8, d8, mode="xla", **kw)
+    o2, l2, _ = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray([len(payload)], np.int32),
+        d8, d8, mode="commit", **kw)
+    assert bool(jnp.all(o1 == o2))
+    assert bytes(np.asarray(o2[0, : int(l2[0])], np.uint8)) == data
+
+    # OOB error parity: craft a match referencing past the window
+    from tamp_tpu.ops.decode_wavefront import ERR_OK
+
+    bad = tamp_tpu.compress(b"zqx" * 400, window=10, literal=8)
+    corrupted = bytearray(bad)
+    corrupted[len(corrupted) // 2] ^= 0x5A
+    payload = bytes(corrupted[1:])
+    L = wf._pow2_bucket(len(payload), 64)
+    NBP = 8 * L
+    blobs = np.zeros((1, L + 8), np.uint32)
+    blobs[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    kw = dict(NBP=NBP, window=10, literal=8, extended=True, more=False,
+              max_out=4096)
+    d10 = jnp.asarray(dictionary_array(1024, literal=8).astype(np.int32))
+    _, _, e1 = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray([len(payload)], np.int32),
+        d10, d10, mode="xla", **kw)
+    _, _, e2 = wf._wavefront_batch(
+        jnp.asarray(blobs), jnp.asarray([len(payload)], np.int32),
+        d10, d10, mode="commit", **kw)
+    # same accept/reject verdict (error codes may legitimately differ only
+    # in which error fired first; both must agree on validity)
+    assert (int(e1[0]) == ERR_OK) == (int(e2[0]) == ERR_OK)
