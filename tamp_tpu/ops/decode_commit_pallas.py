@@ -27,6 +27,15 @@ Each shard's per-bit parse results are packed into two int32 streams
 (``nxt`` and ``kind|cnt<<3|idx<<11``) and gridded in 512-bit SMEM tiles;
 carries (bit position, output position, ring head, FLUSH state, error)
 live in SMEM scratch across grid steps.
+
+Inner-loop design (every scalar op costs ~5-20 ns, so per-byte op count is
+the whole game): the copy loops are specialized per token kind instead of
+one generic select/predicate loop; match copies take a direct ring->out
+path when the token's window-write range provably cannot touch its read
+range (the common case) and only stage through ``tmp`` on overlap; the
+output buffer is ONE flat double-chunk SMEM array indexed ``out_pos &
+1023`` (single unpredicated store) whose 512-byte halves are DMA'd to HBM
+as static slices.
 """
 
 from __future__ import annotations
@@ -57,12 +66,31 @@ _C, _OUT, _POS, _LWF, _ERR, _FLUSHED = 0, 1, 2, 3, 4, 5
 
 
 def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
-            errs_ref, ring, obuf0, obuf1, tmp, st, dma_sem, *, W: int, more: bool,
+            errs_ref, ring, obuf, tmp, st, dma_sem, *, W: int, more: bool,
             max_out: int):
     s = pl.program_id(0)
     i = pl.program_id(1)
     nbp = pl.num_programs(1) * TILE
     base = i * TILE
+    OMASK = 2 * OUT_CHUNK - 1  # flat double-chunk output buffer
+
+    def flush_chunk(ch):
+        # the two chunk halves are STATIC slices of one buffer (Mosaic
+        # cannot DMA from a dynamic SMEM offset), selected by parity
+        dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
+
+        @pl.when(ch % 2 == 0)
+        def _():
+            cp = pltpu.make_async_copy(obuf.at[:, 0:OUT_CHUNK], dst, dma_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(ch % 2 == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                obuf.at[:, OUT_CHUNK:2 * OUT_CHUNK], dst, dma_sem)
+            cp.start()
+            cp.wait()
 
     def load_ring(src_ref):
         # scalar copy (SMEM -> SMEM); a DMA into SMEM scratch doesn't lower
@@ -128,52 +156,84 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             jnp.where(kind == K_EXT, jnp.minimum(cnt, W - pos), cnt))
         rle_b = ring[jnp.where(pos == 0, W - 1, pos - 1)]
 
+        # kind-specialized copy paths: the generic per-byte select/predicate
+        # loop costs ~2x on the scalar core (every op is ~5-20 ns)
+
+        @pl.when(emit & is_lit)
+        def _():  # literals always have cnt == 1 (decode_wavefront:199)
+            obuf[0, out_pos & OMASK] = idx
+            ring[pos] = idx
+
+        @pl.when(emit & is_rle)
+        def _():
+            def r_out(j, _):
+                obuf[0, (out_pos + j) & OMASK] = rle_b
+                return 0
+
+            lax.fori_loop(0, cnt, r_out, 0)
+
+            def r_win(j, _):  # wr <= W - pos: no wrap
+                ring[pos + j] = rle_b
+                return 0
+
+            lax.fori_loop(0, wr, r_win, 0)
+
         # Match copies use SNAPSHOT semantics: the reference's window copy
         # goes reverse-order on overlap and the output copy reads the
         # pristine window (tamp/_c_src/tamp/common.c:58-86 tamp_window_copy),
-        # so a source byte is never one this token already wrote.  Stage the
-        # source bytes before emitting.
-        @pl.when(emit & is_m)
+        # so a source byte is never one this token already wrote.  When the
+        # write range cannot touch the read range [idx, idx+cnt) — the
+        # common case — copy directly; otherwise stage through ``tmp``.
+        wrapped = pos + wr > W
+        ov = jnp.where(
+            wrapped,
+            (idx + cnt > pos) | (idx < pos + wr - W),
+            (idx < pos + wr) & (pos < idx + cnt))
+
+        @pl.when(emit & is_m & ~ov)
+        def _():
+            def m_both(j, _):  # j < wr: window write (wrap for basic match)
+                b = ring[idx + j]
+                obuf[0, (out_pos + j) & OMASK] = b
+                wp = pos + j
+                ring[jnp.where(wp >= W, wp - W, wp)] = b
+                return 0
+
+            lax.fori_loop(0, wr, m_both, 0)
+
+            def m_out(j, _):  # extended tail past the ring end: output only
+                obuf[0, (out_pos + j) & OMASK] = ring[idx + j]
+                return 0
+
+            lax.fori_loop(wr, cnt, m_out, 0)
+
+        @pl.when(emit & is_m & ov)
         def _():
             def sbody(j, _):
-                tmp[j] = ring[jnp.clip(idx + j, 0, W - 1)]
+                tmp[j] = ring[idx + j]
                 return 0
 
             lax.fori_loop(0, cnt, sbody, 0)
 
-        def bcond(bc):
-            return bc[0] < cnt
+            def e_both(j, _):
+                b = tmp[j]
+                obuf[0, (out_pos + j) & OMASK] = b
+                wp = pos + j
+                ring[jnp.where(wp >= W, wp - W, wp)] = b
+                return 0
 
-        def bbody(bc):
-            j, pos, out_pos = bc
-            b = jnp.where(
-                is_lit, idx, jnp.where(is_rle, rle_b, tmp[j]))
-            # two separate chunk buffers: Mosaic cannot slice an SMEM
-            # scratch at a dynamic (or sub-tile) offset for the DMA, so
-            # each chunk is a whole ref, selected by predication
-            slot = (out_pos // OUT_CHUNK) % 2
-            k = out_pos % OUT_CHUNK
+            lax.fori_loop(0, wr, e_both, 0)
 
-            @pl.when(slot == 0)
-            def _():
-                obuf0[0, k] = b
+            def e_out(j, _):
+                obuf[0, (out_pos + j) & OMASK] = tmp[j]
+                return 0
 
-            @pl.when(slot == 1)
-            def _():
-                obuf1[0, k] = b
-            do_w = is_lit | (j < wr)
+            lax.fori_loop(wr, cnt, e_out, 0)
 
-            @pl.when(do_w)
-            def _():
-                ring[pos] = b
-
-            pos = jnp.where(do_w, jnp.where(pos + 1 == W, 0, pos + 1), pos)
-            return j + 1, pos, out_pos + 1
-
-        j0 = jnp.int32(0)
-        _j, pos, out_pos = lax.while_loop(
-            bcond, bbody,
-            (jnp.where(emit, j0, cnt), pos, out_pos))
+        adv = jnp.where(emit, jnp.where(is_lit, 1, wr), 0)
+        p2 = pos + adv  # adv < W always (cnt <= 241 < 256 <= W)
+        pos = jnp.where(p2 >= W, p2 - W, p2)
+        out_pos = out_pos + jnp.where(emit, cnt, 0)
 
         # flush completed chunks (a token adds <= 241 bytes, so at most one
         # chunk completes per token; synchronous copy keeps buffer reuse
@@ -185,21 +245,7 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             return ch < done
 
         def fbody(ch):
-            slot = ch % 2
-            dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
-
-            @pl.when(slot == 0)
-            def _():
-                cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
-                cp.start()
-                cp.wait()
-
-            @pl.when(slot == 1)
-            def _():
-                cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
-                cp.start()
-                cp.wait()
-
+            flush_chunk(ch)
             return ch + 1
 
         flushed = lax.while_loop(fcond, fbody, flushed)
@@ -216,20 +262,7 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
         # flush the trailing partial chunk (padded region; masked by length)
         @pl.when(out_pos > flushed * OUT_CHUNK)
         def _():
-            slot = flushed % 2
-            dst = out_ref.at[s, :, pl.ds(flushed * OUT_CHUNK, OUT_CHUNK)]
-
-            @pl.when(slot == 0)
-            def _():
-                cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
-                cp.start()
-                cp.wait()
-
-            @pl.when(slot == 1)
-            def _():
-                cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
-                cp.start()
-                cp.wait()
+            flush_chunk(flushed)
 
     st[_C] = c
     st[_OUT] = out_pos
@@ -283,8 +316,7 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
         ],
         scratch_shapes=[
             pltpu.SMEM((W,), jnp.int32),
-            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
-            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((1, 2 * OUT_CHUNK), jnp.int32),
             pltpu.SMEM((256,), jnp.int32),
             pltpu.SMEM((6,), jnp.int32),
             pltpu.SemaphoreType.DMA,

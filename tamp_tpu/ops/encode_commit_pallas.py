@@ -22,6 +22,11 @@ Inputs are packed one int32 per input position:
 ``len(5) | idx(15) | byte(8)`` (and ``plen(5) | pidx(15)`` for the lazy
 probe stream).  Outputs: byte chunks, plus a per-shard state row
 (bytes written, bit remainder, stop position, lazy cache, error).
+
+The output buffer is ONE flat double-chunk SMEM array indexed
+``nbytes & 1023`` (single unpredicated store per drained byte); its
+512-byte halves are DMA'd to HBM as static slices selected by chunk
+parity.
 """
 
 from __future__ import annotations
@@ -53,12 +58,31 @@ S_T, S_NBYTES, S_ACC, S_AN, S_CIDX, S_CSZ, S_ERR, S_NSLOTS = 0, 1, 2, 3, 4, 5, 6
 _T, _NB, _ACC, _AN, _CI, _CS, _ERR, _FL = 0, 1, 2, 3, 4, 5, 6, 7
 
 
-def _kernel(pk_ref, pb_ref, huff_ref, n_ref, out_ref, state_ref, obuf0, obuf1,
+def _kernel(pk_ref, pb_ref, huff_ref, n_ref, out_ref, state_ref, obuf,
             st, dma_sem, *, window: int, literal: int, lazy: bool,
             max_out: int):
     s = pl.program_id(0)
     i = pl.program_id(1)
     base = i * TILE
+    OMASK = 2 * OUT_CHUNK - 1  # flat double-chunk output buffer
+
+    def flush_chunk(ch):
+        # chunk halves are STATIC slices of one buffer (Mosaic cannot DMA
+        # from a dynamic SMEM offset), selected by parity
+        dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
+
+        @pl.when(ch % 2 == 0)
+        def _():
+            cp = pltpu.make_async_copy(obuf.at[:, 0:OUT_CHUNK], dst, dma_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(ch % 2 == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                obuf.at[:, OUT_CHUNK:2 * OUT_CHUNK], dst, dma_sem)
+            cp.start()
+            cp.wait()
     W = 1 << window
     wmask = W - 1
     minp = compute_min_pattern_size(window, literal)
@@ -128,18 +152,7 @@ def _kernel(pk_ref, pb_ref, huff_ref, n_ref, out_ref, state_ref, obuf0, obuf1,
 
         def drain_body(dc):
             nbytes, an, acc, flushed = dc
-            b = (acc >> (an - 8)) & 0xFF
-            slot = (nbytes // OUT_CHUNK) % 2
-            k = nbytes % OUT_CHUNK
-
-            @pl.when(slot == 0)
-            def _():
-                obuf0[0, k] = b
-
-            @pl.when(slot == 1)
-            def _():
-                obuf1[0, k] = b
-
+            obuf[0, nbytes & OMASK] = (acc >> (an - 8)) & 0xFF
             an = an - 8
             acc = acc & ((1 << an) - 1)
             nbytes = nbytes + 1
@@ -148,21 +161,7 @@ def _kernel(pk_ref, pb_ref, huff_ref, n_ref, out_ref, state_ref, obuf0, obuf1,
                 return ch < nbytes // OUT_CHUNK
 
             def fbody(ch):
-                cslot = ch % 2
-                dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
-
-                @pl.when(cslot == 0)
-                def _():
-                    cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
-                    cp.start()
-                    cp.wait()
-
-                @pl.when(cslot == 1)
-                def _():
-                    cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
-                    cp.start()
-                    cp.wait()
-
+                flush_chunk(ch)
                 return ch + 1
 
             flushed = lax.while_loop(fcond, fbody, flushed)
@@ -185,20 +184,7 @@ def _kernel(pk_ref, pb_ref, huff_ref, n_ref, out_ref, state_ref, obuf0, obuf1,
         # flush the trailing partial chunk (padding masked by nbytes)
         @pl.when(nbytes > flushed * OUT_CHUNK)
         def _():
-            slot = flushed % 2
-            dst = out_ref.at[s, :, pl.ds(flushed * OUT_CHUNK, OUT_CHUNK)]
-
-            @pl.when(slot == 0)
-            def _():
-                cp = pltpu.make_async_copy(obuf0, dst, dma_sem)
-                cp.start()
-                cp.wait()
-
-            @pl.when(slot == 1)
-            def _():
-                cp = pltpu.make_async_copy(obuf1, dst, dma_sem)
-                cp.start()
-                cp.wait()
+            flush_chunk(flushed)
 
     st[_T] = t
     st[_NB] = nbytes
@@ -263,8 +249,7 @@ def encode_commit_batch(packed, probe, npos, *, NP: int, window: int,
             jax.ShapeDtypeStruct((S, 1, S_NSLOTS), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
-            pltpu.SMEM((1, OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((1, 2 * OUT_CHUNK), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],

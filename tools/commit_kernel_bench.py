@@ -1,0 +1,108 @@
+"""Compute-only microbenchmark for the Pallas stream-commit kernels.
+
+End-to-end device decode/encode timings through this environment's TPU
+tunnel are dominated by d2h transfer variance (~15 MB/s with multi-second
+stalls), so this tool times ONLY the kernel dispatch, synchronizing by
+pulling a single scalar output (jax.block_until_ready is unreliable over
+the tunnel — see CLAUDE.md).
+
+Usage: python tools/commit_kernel_bench.py [MB] [reps]
+Prints one JSON line with ms/MB for the decode commit kernel (extended
+stream) and the v1 encode commit kernel.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n = int(mb * (1 << 20))
+
+    import jax
+    import numpy as np
+
+    from bench import build_corpus
+    from tamp_tpu import _native
+    from tamp_tpu.dictionary import dictionary_array
+
+    data = build_corpus(n)
+    out = {"backend": jax.default_backend(), "mb": mb}
+
+    # --- device decode: VPU parse + stream-commit kernel (extended
+    # stream, the default config); transfers excluded by scalar-pull sync ---
+    import jax.numpy as jnp
+
+    from tamp_tpu.ops.decode_wavefront import _pow2_bucket, _wavefront_batch
+
+    window, literal = 10, 8
+    payload = _native.native_compress(
+        data, window=window, literal=literal, extended=True)[1:]  # drop header
+    L = _pow2_bucket(len(payload), 64)
+    blobs = np.zeros((1, L + 8), np.uint32)
+    blobs[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    nbytes = np.asarray([len(payload)], np.int32)
+    dict_init = jnp.asarray(
+        dictionary_array(1 << window, literal=literal).astype(np.int32))
+    max_out = _pow2_bucket(n + 1, 1024)
+    blobs_d, nbytes_d = jnp.asarray(blobs), jnp.asarray(nbytes)
+
+    def dec():
+        o, lens, errs = _wavefront_batch(
+            blobs_d, nbytes_d, dict_init, dict_init, NBP=8 * L,
+            window=window, literal=literal, extended=True, more=False,
+            max_out=max_out, mode="commit")
+        return int(lens[0]), int(errs[0])
+
+    ln, err = dec()  # compile + check
+    assert err == 0 and ln == n, (ln, n, err)
+    best = min(_time(dec) for _ in range(reps))
+    out["decode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
+    out["decode_commit_mb_s"] = round(mb / best, 2)
+    print(json.dumps(out), flush=True)  # partial, in case encode fails
+
+    # --- v1 encode commit kernel (tables from the NumPy oracle) ---
+    from tamp_tpu.engine.encode import model_history
+    from tamp_tpu.engine.search_np import match_tables
+    from tamp_tpu.ops.encode_commit_pallas import TILE, encode_commit_batch
+
+    arr = np.frombuffer(data, np.uint8)
+    dict_arr, _hist = model_history(arr, window, literal, False, None)
+    tables = match_tables(arr, dict_arr, window, compute_probe=False)
+    NP = 1 << (max(n, TILE, 1) - 1).bit_length()
+    pk = np.zeros((1, NP), np.int32)
+    pk[0, :n] = ((tables.len16[:n].astype(np.int32) << 23)
+                 | (tables.idx16[:n].astype(np.int32) << 8)
+                 | arr.astype(np.int32))
+    pb = np.zeros((1, NP), np.int32)
+    npos = np.asarray([n], np.int32)
+    pk_d, pb_d, np_d = jnp.asarray(pk), jnp.asarray(pb), jnp.asarray(npos)
+    max_enc = NP + NP // 8 + 64
+
+    def enc():
+        o, state = encode_commit_batch(
+            pk_d, pb_d, np_d, NP=NP, window=window, literal=literal,
+            lazy=False, max_out=max_enc, interpret=False)
+        return int(state[0, 6])  # S_ERR
+
+    assert enc() == 0
+    best = min(_time(enc) for _ in range(reps))
+    out["encode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
+    out["encode_commit_mb_s"] = round(mb / best, 2)
+
+    print(json.dumps(out))
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
