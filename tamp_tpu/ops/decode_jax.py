@@ -72,6 +72,7 @@ def _decode_batch(blobs, lengths, skip, dict_init, window, literal, extended, mo
     minp = compute_min_pattern_size(window, literal)
     SYM, LEN = _peek_tables()
     u32 = jnp.uint32
+    blobs = blobs.astype(jnp.int32)  # uint8 h2d; widen on device
 
     def one(blob, n, start):
         def cond(st):
@@ -234,7 +235,7 @@ def _decode_batch(blobs, lengths, skip, dict_init, window, literal, extended, mo
             err=jnp.bool_(False), ring=dict_init,
             out=jnp.zeros(max_out + PAD, jnp.int32),
         ))
-        return st["out"][:max_out], st["o"], st["err"]
+        return st["out"][:max_out].astype(jnp.uint8), st["o"], st["err"]
 
     return jax.vmap(one)(blobs, lengths, skip)
 
@@ -265,7 +266,7 @@ def decode_shards_device(shards, *, dictionary=None, max_out: int) -> list[bytes
 
     S = len(shards)
     Lc = max(len(s) for s in shards)
-    blobs = np.zeros((S, Lc), np.int32)
+    blobs = np.zeros((S, Lc), np.uint8)
     lengths = np.zeros(S, np.int32)
     skips = np.full(S, skip0, np.int32)
     for i, s in enumerate(shards):

@@ -462,12 +462,17 @@ def _wavefront_finish(starts, T, kind_b, cnt_b, idx_b, dict_init, dict_reset,
 )
 def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
                      literal, extended, more, max_out, mode="xla"):
+    # blobs arrive as uint8 (1 byte h2d per payload byte — the tunnel/PCIe
+    # transfer is the scarce resource); widen on device for the bit math,
+    # and narrow the decoded output back to uint8 before it leaves.
+    blobs = blobs.astype(jnp.uint32)
     if mode == "xla":
         fn = functools.partial(
             _wavefront_kernel, NBP=NBP, window=window, literal=literal,
             extended=extended, more=more, max_out=max_out)
-        return jax.vmap(
+        outs, lens, errs = jax.vmap(
             lambda b, n: fn(b, n, dict_init, dict_reset))(blobs, nbytes)
+        return outs.astype(jnp.uint8), lens, errs
 
     nxt, kind_b, cnt_b, idx_b, _inv, _inc = jax.vmap(
         lambda b, n: _speculative_parse(b, n * 8, NBP, window, literal,
@@ -480,9 +485,10 @@ def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
         from .decode_commit_pallas import commit_available, commit_decode_batch
 
         packed = kind_b | (cnt_b << 3) | (idx_b << 11)
-        return commit_decode_batch(
+        outs, lens, errs = commit_decode_batch(
             nxt, packed, dict_init, dict_reset, NBP=NBP, W=1 << window,
             more=more, max_out=max_out, interpret=not commit_available())
+        return outs.astype(jnp.uint8), lens, errs
 
     # mode == "chase": boundary resolution via the Pallas sequential-chase
     # kernel; the finish stages stay vmapped XLA (ops/token_chase_pallas.py).
@@ -493,9 +499,10 @@ def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
     fin = functools.partial(
         _wavefront_finish, window=window, literal=literal, more=more,
         max_out=max_out, T_max=T_max)
-    return jax.vmap(
+    outs, lens, errs = jax.vmap(
         lambda s, t, kb, cb, ib: fin(s, t, kb, cb, ib, dict_init, dict_reset)
     )(starts, T, kind_b, cnt_b, idx_b)
+    return outs.astype(jnp.uint8), lens, errs
 
 
 def _round_up(n: int, m: int) -> int:
@@ -541,7 +548,7 @@ def _decode_group(payloads, *, window, literal, extended, more, dict_init,
     L = _pow2_bucket(max(len(p) for p in payloads), 64)
     max_out = _pow2_bucket(max_out, 1024)
     # parse peeks up to ~22 bits past a start at bit 8L -> pad 8 bytes
-    blobs = np.zeros((S, L + 8), np.uint32)
+    blobs = np.zeros((S, L + 8), np.uint8)
     nbytes = np.zeros(S, np.int32)
     for i, p in enumerate(payloads):
         blobs[i, : len(p)] = np.frombuffer(p, np.uint8)

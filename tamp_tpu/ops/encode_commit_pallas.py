@@ -260,7 +260,9 @@ def encode_commit_batch(packed, probe, npos, *, NP: int, window: int,
         huff.reshape(1, 1, 16),
         n_in,
     )
-    return out[:, 0, :max_out], state[:, 0, :]
+    # narrow to uint8 on device: the compressed bytes leave the chip at
+    # 1 byte per byte instead of an int32 per byte (d2h is the bottleneck)
+    return out[:, 0, :max_out].astype(jnp.uint8), state[:, 0, :]
 
 
 @functools.lru_cache(maxsize=1)
