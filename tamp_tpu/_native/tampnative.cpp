@@ -87,10 +87,20 @@ struct BitWriter {
   inline void put(uint32_t code, int nbits) {
     acc = (acc << nbits) | (code & ((1u << nbits) - 1));
     bits += nbits;
-    while (bits >= 8) {
-      if (n >= cap) { overflow = true; bits = 0; return; }
-      out[n++] = (uint8_t)(acc >> (bits - 8));
-      bits -= 8;
+    if (bits >= 8) {
+      int nb = bits >> 3;
+      if (__builtin_expect(n + nb > cap, 0)) {  // slow path: per-byte check
+        while (bits >= 8) {
+          if (n >= cap) { overflow = true; bits = 0; return; }
+          out[n++] = (uint8_t)(acc >> (bits - 8));
+          bits -= 8;
+        }
+        return;
+      }
+      do {
+        bits -= 8;
+        out[n++] = (uint8_t)(acc >> bits);
+      } while (bits >= 8);
     }
   }
   inline void pad() {
@@ -220,6 +230,37 @@ struct Committer {
     if (__builtin_expect(wpos >= 0x7F000000LL, 0)) rebase_chains();
   }
 
+  // Batched ring_push over a contiguous source: identical chain/ring state,
+  // but the wrap branch and rebase check leave the inner loop and the pair
+  // keys slide over src instead of re-reading the ring.
+  void ring_push_run(const uint8_t* src, int n) {
+    uint8_t* rg = ring.data();
+    int32_t* cp = cprev.data();
+    int32_t* ch = chead.data();
+    while (n > 0) {
+      int p = pos;
+      int seg = (W - p) < n ? (W - p) : n;
+      if (p != 0) {  // pair crossing into this run
+        int key = ((int)rg[p - 1] << 8) | src[0];
+        cp[p - 1] = ch[key];
+        ch[key] = (int32_t)(wpos - 1);
+      }
+      rg[p] = src[0];
+      for (int i = 1; i < seg; i++) {
+        int key = ((int)src[i - 1] << 8) | src[i];
+        cp[p + i - 1] = ch[key];
+        ch[key] = (int32_t)(wpos + i - 1);
+        rg[p + i] = src[i];
+      }
+      wpos += seg;
+      pos = p + seg;
+      if (pos == W) pos = 0;
+      src += seg;
+      n -= seg;
+    }
+    if (__builtin_expect(wpos >= 0x7F000000LL, 0)) rebase_chains();
+  }
+
   // Keep chain entries within int32: subtract a large constant from wpos
   // and every entry (expired entries clamp to -1).  Runs every ~2 GB.
   void rebase_chains() {
@@ -298,14 +339,14 @@ struct Committer {
   void ring_copy_wrap(int index, int size) {
     uint8_t tmp[16];  // cached lazy matches are <= 15 bytes
     for (int i = 0; i < size; i++) tmp[i] = ring[(index + i) & wmask];
-    for (int i = 0; i < size; i++) ring_push(tmp[i]);
+    ring_push_run(tmp, size);
   }
   // extended-match window write: no wrap past ring end
   void ring_selfcopy_ext(int index, int size, int64_t src_input_start) {
     int wr = size < (W - pos) ? size : (W - pos);
     scratch.resize((size_t)wr);
     for (int i = 0; i < wr; i++) scratch[i] = ring[(index + i) & wmask];
-    for (int i = 0; i < wr; i++) ring_push(scratch[i]);
+    ring_push_run(scratch.data(), wr);
     if (wr < size) record_deletion(chat(src_input_start) + wr, size - wr);
   }
 
@@ -382,7 +423,7 @@ struct Committer {
     bw->huff(size - minp);
     bw->put((uint32_t)idx, wbits);
     // matched bytes equal the consumed input; write them with wrap
-    for (int i = 0; i < size; i++) ring_push(data[t + i]);
+    ring_push_run(data + t, size);
   }
   void emit_match_cached(int idx, int size) {
     bw->huff(size - minp);
@@ -397,7 +438,9 @@ struct Committer {
     bw->ext_value(count - 2, RLE_TRAIL);
     int wr = count; if (wr > RLE_MAX_WIN) wr = RLE_MAX_WIN;
     if (wr > W - pos) wr = W - pos;
-    for (int i = 0; i < wr; i++) ring_push(b);
+    uint8_t fill[8];  // RLE_MAX_WIN == 8
+    std::memset(fill, b, sizeof fill);
+    ring_push_run(fill, wr);
     if (wr < count) record_deletion(chat(rle_start) + wr, count - wr);
   }
 
@@ -415,7 +458,9 @@ struct Committer {
       bw->ext_value(count - 2, RLE_TRAIL);
       int w_plan = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
       int wr = w_plan < (W - pos) ? w_plan : (W - pos);
-      for (int i = 0; i < wr; i++) ring_push(b);
+      uint8_t fill[8];  // RLE_MAX_WIN == 8
+      std::memset(fill, b, sizeof fill);
+      ring_push_run(fill, wr);
       if (wr < w_plan) record_deletion(chat(t) + wr, w_plan - wr);
       t += count;
     }
@@ -436,7 +481,7 @@ struct Committer {
         int L = ext_count < minp + 11 ? ext_count : minp + 11;
         bw->huff(L - minp);
         bw->put((uint32_t)ext_pos, wbits);
-        for (int i = 0; i < L; i++) ring_push(data[ext_start + i]);
+        ring_push_run(data + ext_start, L);
         t = ext_start + L;
       }
       ext_count = 0; ext_pos = 0;
