@@ -168,6 +168,23 @@ struct Committer {
   // write head (slot tau-1: newest byte followed by the oldest) is checked
   // explicitly in chain_search.
   std::vector<int32_t> chead, cprev;  // int32 halves the cache footprint
+  // Trigram chains (hashed, verified): chead3[h3(tri)] -> newest absolute
+  // position whose linear trigram hashes to that bucket.  Any length>=3
+  // match starts with a trigram whose start slot is linear (s+2 < W), so
+  // the trigram walk is exhaustive for length>=3 candidates; hash
+  // collisions are rejected by verifying the first two bytes.  Pair chains
+  // remain the exact source for length-2 matches.
+  std::vector<int32_t> chead3, cprev3;
+  // Trigram chains pay ~2 extra stores per window byte; they win only once
+  // the pair chains get long (big windows).  Below the threshold the single
+  // exact pair walk is faster end-to-end (measured: w<=10 pair-only wins,
+  // w>=12 trigram wins).
+  bool use_tri = false;
+  static constexpr int H3_BITS = 15;
+  static inline uint32_t h3(uint8_t a, uint8_t b, uint8_t c) {
+    uint32_t k = ((uint32_t)a << 16) | ((uint32_t)b << 8) | c;
+    return (k * 2654435761u) >> (32 - H3_BITS);
+  }
   int64_t wpos = 0;                   // (rebased before chains could wrap)
   // Run plan (planned-RLE mode): long input runs (>=9) are RLE'd at fixed
   // positions so their window-write truncations are part of the model the
@@ -223,6 +240,11 @@ struct Committer {
       int key = ((int)ring[pos - 1] << 8) | b;
       cprev[pos - 1] = chead[key];
       chead[key] = (int32_t)(wpos - 1);
+      if (use_tri && pos >= 2) {  // trigram starting two slots back
+        uint32_t h = h3(ring[pos - 2], ring[pos - 1], b);
+        cprev3[pos - 2] = chead3[h];
+        chead3[h] = (int32_t)(wpos - 2);
+      }
     }
     ring[pos] = b;
     wpos++;
@@ -237,20 +259,52 @@ struct Committer {
     uint8_t* rg = ring.data();
     int32_t* cp = cprev.data();
     int32_t* ch = chead.data();
+    int32_t* cp3 = use_tri ? cprev3.data() : nullptr;
+    int32_t* ch3 = use_tri ? chead3.data() : nullptr;
     while (n > 0) {
       int p = pos;
       int seg = (W - p) < n ? (W - p) : n;
-      if (p != 0) {  // pair crossing into this run
+      if (p != 0) {  // pair/trigrams crossing into this run
         int key = ((int)rg[p - 1] << 8) | src[0];
         cp[p - 1] = ch[key];
         ch[key] = (int32_t)(wpos - 1);
+        if (cp3) {
+          if (p >= 2) {
+            uint32_t h = h3(rg[p - 2], rg[p - 1], src[0]);
+            cp3[p - 2] = ch3[h];
+            ch3[h] = (int32_t)(wpos - 2);
+          }
+          if (seg >= 2) {
+            uint32_t h = h3(rg[p - 1], src[0], src[1]);
+            cp3[p - 1] = ch3[h];
+            ch3[h] = (int32_t)(wpos - 1);
+          }
+        }
       }
       rg[p] = src[0];
-      for (int i = 1; i < seg; i++) {
-        int key = ((int)src[i - 1] << 8) | src[i];
-        cp[p + i - 1] = ch[key];
-        ch[key] = (int32_t)(wpos + i - 1);
-        rg[p + i] = src[i];
+      if (seg >= 2) {
+        int key = ((int)src[0] << 8) | src[1];
+        cp[p] = ch[key];
+        ch[key] = (int32_t)wpos;
+        rg[p + 1] = src[1];
+      }
+      if (cp3) {
+        for (int i = 2; i < seg; i++) {
+          int key = ((int)src[i - 1] << 8) | src[i];
+          cp[p + i - 1] = ch[key];
+          ch[key] = (int32_t)(wpos + i - 1);
+          uint32_t h = h3(src[i - 2], src[i - 1], src[i]);
+          cp3[p + i - 2] = ch3[h];
+          ch3[h] = (int32_t)(wpos + i - 2);
+          rg[p + i] = src[i];
+        }
+      } else {
+        for (int i = 2; i < seg; i++) {
+          int key = ((int)src[i - 1] << 8) | src[i];
+          cp[p + i - 1] = ch[key];
+          ch[key] = (int32_t)(wpos + i - 1);
+          rg[p + i] = src[i];
+        }
       }
       wpos += seg;
       pos = p + seg;
@@ -268,15 +322,27 @@ struct Committer {
     wpos -= delta;
     for (auto& v : chead) v = (v < delta) ? -1 : (int32_t)(v - delta);
     for (auto& v : cprev) v = (v < delta) ? -1 : (int32_t)(v - delta);
+    for (auto& v : chead3) v = (v < delta) ? -1 : (int32_t)(v - delta);
+    for (auto& v : cprev3) v = (v < delta) ? -1 : (int32_t)(v - delta);
   }
 
   void seed_chains() {  // after the dictionary fills ring[0..W)
     chead.assign(65536, -1);
     cprev.assign((size_t)W, -1);
+    use_tri = W >= 2048;
+    if (use_tri) {
+      chead3.assign((size_t)1 << H3_BITS, -1);
+      cprev3.assign((size_t)W, -1);
+    }
     for (int s = 0; s + 1 < W; s++) {
       int key = ((int)ring[s] << 8) | ring[s + 1];
       cprev[s] = chead[key];
       chead[key] = (int32_t)s;
+      if (use_tri && s + 2 < W) {
+        uint32_t h = h3(ring[s], ring[s + 1], ring[s + 2]);
+        cprev3[s] = chead3[h];
+        chead3[h] = (int32_t)s;
+      }
     }
     wpos = W;
   }
@@ -301,36 +367,110 @@ struct Committer {
       best_slot = seed_slot;
     }
 
-    auto consider = [&](int x) {
-      int room = W - x;
-      bool maybe_tie = best_slot >= 0 && x < best_slot;
-      if (!maybe_tie) {
-        if (best >= limit || room <= best) return;
-        if (ring[x + best] != target[best]) return;  // cannot beat best
-      } else {
-        if (room < best) return;                        // cannot even tie
-        if (ring[x + best - 1] != target[best - 1]) return;  // len < best
-      }
-      int mx = limit < room ? limit : room;
-      int len = 2 + match_extent(ring.data() + x + 2, target + 2, mx - 2);
-      if (len > best) {
-        best = len;
-        best_slot = x;
-      } else if (len == best && maybe_tie) {
-        best_slot = x;
-      }
-    };
+    const uint8_t* rg = ring.data();
 
-    int key = ((int)target[0] << 8) | target[1];
-    for (int64_t c = chead[key]; c >= lo; c = cprev[c & wmask]) {
-      int x = (int)(c & wmask);
-      if (x >= start) consider(x);
+    if (!use_tri) {
+      // Small-window path: one exact pair walk with in-walk extension.
+      const int32_t* cp = cprev.data();
+      auto consider = [&](int x) {
+        int room = W - x;
+        bool maybe_tie = best_slot >= 0 && x < best_slot;
+        if (!maybe_tie) {
+          if (best >= limit || room <= best) return;
+          if (rg[x + best] != target[best]) return;  // cannot beat best
+        } else {
+          if (room < best) return;                        // cannot even tie
+          if (rg[x + best - 1] != target[best - 1]) return;  // len < best
+        }
+        int mx = limit < room ? limit : room;
+        int len = 2 + match_extent(rg + x + 2, target + 2, mx - 2);
+        if (len > best) {
+          best = len;
+          best_slot = x;
+        } else if (len == best && maybe_tie) {
+          best_slot = x;
+        }
+      };
+      int key = ((int)target[0] << 8) | target[1];
+      for (int64_t c = chead[key]; c >= lo; c = cp[c & wmask]) {
+        int x = (int)(c & wmask);
+        if (x >= start) consider(x);
+      }
+      // The head-crossing pair (never chain-indexed).
+      int hx = pos - 1;
+      if (hx >= 0 && hx >= start && rg[hx] == target[0] &&
+          rg[hx + 1] == target[1])
+        consider(hx);
+      if (best_slot < 0) return {start, minp - 1};
+      return {best_slot, best};
     }
-    // The head-crossing pair (never chain-indexed).
-    int hx = pos - 1;
-    if (hx >= 0 && hx >= start && ring[hx] == target[0] &&
-        ring[hx + 1] == target[1])
-      consider(hx);
+
+    if (limit >= 3) {
+      // Phase 1: matches of length >= 3 via the trigram chains (exhaustive:
+      // any len>=3 match's first trigram is linear, so it is chain-indexed
+      // or starts adjacent to the write head).  Hash collisions are
+      // rejected by verifying the 2-byte prefix; len-2 outcomes are never
+      // recorded here (phase 2 owns them).
+      const int32_t* cp3 = cprev3.data();
+      int best0 = best;
+      if (best < 2) best = 2;  // floor: only len>=3 can be recorded
+      auto consider3 = [&](int x) {
+        int room = W - x;
+        bool maybe_tie = best_slot >= 0 && x < best_slot;
+        if (!maybe_tie) {
+          if (best >= limit || room <= best) return;
+          if (rg[x + best] != target[best]) return;  // cannot beat best
+        } else {
+          if (room < best) return;                        // cannot even tie
+          if (rg[x + best - 1] != target[best - 1]) return;  // len < best
+        }
+        if (rg[x] != target[0] || rg[x + 1] != target[1]) return;  // collision
+        int mx = limit < room ? limit : room;
+        int len = 2 + match_extent(rg + x + 2, target + 2, mx - 2);
+        if (len > best) {
+          best = len;
+          best_slot = x;
+        } else if (len == best && maybe_tie) {
+          best_slot = x;
+        }
+      };
+      uint32_t h = h3(target[0], target[1], target[2]);
+      for (int64_t c = chead3[h]; c >= lo; c = cp3[c & wmask]) {
+        int x = (int)(c & wmask);
+        if (x >= start) consider3(x);
+      }
+      // Trigram starts adjacent to the write head hold newer bytes than
+      // their (expired) chain entries recorded: check them explicitly.
+      for (int dx = 2; dx >= 1; dx--) {
+        int x = pos - dx;
+        if (x >= 0 && x >= start) consider3(x);
+      }
+      if (best >= 3) return {best_slot, best};
+      best = best0;  // nothing >= 3 (tie updates to best_slot were valid
+                     // pair matches; phase 2 keeps minimizing the slot)
+    }
+
+    // Phase 2: the longest match is (at most) 2 — the lowest pair-match
+    // slot wins.  Pair chains are exact (no hashing), so no byte compares
+    // are needed for chain entries.
+    if (minp <= 2) {
+      const int32_t* cp = cprev.data();
+      int key = ((int)target[0] << 8) | target[1];
+      for (int64_t c = chead[key]; c >= lo; c = cp[c & wmask]) {
+        int x = (int)(c & wmask);
+        if (x >= start && (best_slot < 0 || x < best_slot)) {
+          best = 2;
+          best_slot = x;
+        }
+      }
+      // The head-crossing pair (never chain-indexed).
+      int hx = pos - 1;
+      if (hx >= 0 && hx >= start && (best_slot < 0 || hx < best_slot) &&
+          rg[hx] == target[0] && rg[hx + 1] == target[1]) {
+        best = 2;
+        best_slot = hx;
+      }
+    }
 
     if (best_slot < 0) return {start, minp - 1};
     return {best_slot, best};
