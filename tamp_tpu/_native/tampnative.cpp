@@ -329,7 +329,10 @@ struct Committer {
   void seed_chains() {  // after the dictionary fills ring[0..W)
     chead.assign(65536, -1);
     cprev.assign((size_t)W, -1);
-    use_tri = W >= 2048;
+#ifndef TAMP_TRI_MIN_WINDOW
+#define TAMP_TRI_MIN_WINDOW 2048
+#endif
+    use_tri = W >= TAMP_TRI_MIN_WINDOW;
     if (use_tri) {
       chead3.assign((size_t)1 << H3_BITS, -1);
       cprev3.assign((size_t)W, -1);

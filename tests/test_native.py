@@ -143,3 +143,32 @@ def test_native_decoder_handles_garbage():
             _native.native_decompress(blob)
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("window", [11, 12, 13])
+def test_native_big_window_multi_cycle_parity(window, ref_tamp, rng):
+    """Big windows use the trigram-chain search (tampnative.cpp
+    Committer::chain_search phase 1); drive the ring through several full
+    wrap cycles so chain expiry and the head-adjacent trigram checks are
+    exercised, and require byte parity with the reference encoder
+    (reference: tamp/compressor.py greedy search semantics)."""
+    W = 1 << window
+    text = (
+        b"It was the best of times, it was the worst of times, it was the "
+        b"age of wisdom, it was the age of foolishness. "
+    )
+    reps = (3 * W) // len(text) + 1
+    base = (text * reps)[: 3 * W]
+    # splice in runs and structure so RLE/extended interleave with matches
+    data = base[: W // 2] + bytes([7] * 600) + base[W // 2 :] + bytes(
+        rng.getrandbits(8) for _ in range(W // 4)
+    )
+    for lazy in (False, True):
+        ours = _native.native_compress(
+            data, window=window, literal=8, extended=True, lazy_matching=lazy
+        )
+        theirs = bytes(
+            ref_tamp.compress(data, window=window, literal=8, lazy_matching=lazy)
+        )
+        assert ours == theirs, (window, lazy, len(data))
+        assert bytes(_native.native_decompress(ours)) == data
