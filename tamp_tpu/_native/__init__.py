@@ -31,6 +31,12 @@ def _build() -> None:
         # Run python with LD_PRELOAD=libasan.so when using this.
         extra = ["-O1", "-g", "-fsanitize=address,undefined",
                  "-fno-sanitize-recover=all"]
+    # Build knobs: TAMP_TRI_MIN_WINDOW=<int> tunes the trigram-chain window
+    # threshold; TAMP_TPU_CXXFLAGS passes arbitrary extra flags.
+    tri = os.environ.get("TAMP_TRI_MIN_WINDOW")
+    if tri and tri.isdigit():
+        extra.append(f"-DTAMP_TRI_MIN_WINDOW={tri}")
+    extra.extend(os.environ.get("TAMP_TPU_CXXFLAGS", "").split())
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         *extra, "-o", _LIB_PATH + ".tmp", _SRC,

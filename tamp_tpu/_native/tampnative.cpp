@@ -35,6 +35,14 @@ const int RLE_TRAIL = 4, EXT_TRAIL = 3;
 const int RLE_MAX = 241, RLE_MAX_WIN = 8;
 const int LOOKAHEAD = 16;
 
+// Build knob (overridable with -DTAMP_TRI_MIN_WINDOW=<n>, wired through the
+// TAMP_TRI_MIN_WINDOW env var by _native/__init__.py; delete libtampnative.so
+// to force a rebuild after changing it): smallest window size that maintains
+// hashed trigram chains alongside the 2-byte chains.
+#ifndef TAMP_TRI_MIN_WINDOW
+#define TAMP_TRI_MIN_WINDOW 2048
+#endif
+
 uint8_t SYM_TAB[256], LEN_TAB[256];
 bool huff_tables_ready = false;
 void ensure_huff_tables() {
@@ -329,9 +337,6 @@ struct Committer {
   void seed_chains() {  // after the dictionary fills ring[0..W)
     chead.assign(65536, -1);
     cprev.assign((size_t)W, -1);
-#ifndef TAMP_TRI_MIN_WINDOW
-#define TAMP_TRI_MIN_WINDOW 2048
-#endif
     use_tri = W >= TAMP_TRI_MIN_WINDOW;
     if (use_tri) {
       chead3.assign((size_t)1 << H3_BITS, -1);
@@ -581,7 +586,7 @@ struct Committer {
     bw->ext_value(count - 2, RLE_TRAIL);
     int wr = count; if (wr > RLE_MAX_WIN) wr = RLE_MAX_WIN;
     if (wr > W - pos) wr = W - pos;
-    uint8_t fill[8];  // RLE_MAX_WIN == 8
+    uint8_t fill[RLE_MAX_WIN];
     std::memset(fill, b, sizeof fill);
     ring_push_run(fill, wr);
     if (wr < count) record_deletion(chat(rle_start) + wr, count - wr);
@@ -601,7 +606,7 @@ struct Committer {
       bw->ext_value(count - 2, RLE_TRAIL);
       int w_plan = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
       int wr = w_plan < (W - pos) ? w_plan : (W - pos);
-      uint8_t fill[8];  // RLE_MAX_WIN == 8
+      uint8_t fill[RLE_MAX_WIN];
       std::memset(fill, b, sizeof fill);
       ring_push_run(fill, wr);
       if (wr < w_plan) record_deletion(chat(t) + wr, w_plan - wr);

@@ -303,7 +303,7 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_tiles), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_tiles), lambda s, i: (s, 0, 0),

@@ -240,7 +240,7 @@ def encode_commit_batch(packed, probe, npos, *, NP: int, window: int,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, S_NSLOTS), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
         ],

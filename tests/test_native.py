@@ -145,13 +145,15 @@ def test_native_decoder_handles_garbage():
             pass
 
 
-@pytest.mark.parametrize("window", [11, 12, 13])
-def test_native_big_window_multi_cycle_parity(window, ref_tamp, rng):
+@pytest.mark.parametrize("window,literal", [(11, 8), (12, 8), (13, 8), (12, 5)])
+def test_native_big_window_multi_cycle_parity(window, literal, ref_tamp, rng):
     """Big windows use the trigram-chain search (tampnative.cpp
     Committer::chain_search phase 1); drive the ring through several full
     wrap cycles so chain expiry and the head-adjacent trigram checks are
     exercised, and require byte parity with the reference encoder
-    (reference: tamp/compressor.py greedy search semantics)."""
+    (reference: tamp/compressor.py greedy search semantics).  The (12, 5)
+    case has min_pattern_size == 3, driving the trigram-only phase-1 path
+    (no 2-byte phase 2) through the wrap cycles as well."""
     W = 1 << window
     text = (
         b"It was the best of times, it was the worst of times, it was the "
@@ -163,12 +165,16 @@ def test_native_big_window_multi_cycle_parity(window, ref_tamp, rng):
     data = base[: W // 2] + bytes([7] * 600) + base[W // 2 :] + bytes(
         rng.getrandbits(8) for _ in range(W // 4)
     )
+    if literal < 8:  # literal-bit streams only carry bytes < 2**literal
+        data = bytes(b & ((1 << literal) - 1) for b in data)
     for lazy in (False, True):
         ours = _native.native_compress(
-            data, window=window, literal=8, extended=True, lazy_matching=lazy
+            data, window=window, literal=literal, extended=True,
+            lazy_matching=lazy
         )
         theirs = bytes(
-            ref_tamp.compress(data, window=window, literal=8, lazy_matching=lazy)
+            ref_tamp.compress(
+                data, window=window, literal=literal, lazy_matching=lazy)
         )
-        assert ours == theirs, (window, lazy, len(data))
+        assert ours == theirs, (window, literal, lazy, len(data))
         assert bytes(_native.native_decompress(ours)) == data
