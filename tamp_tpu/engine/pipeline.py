@@ -42,6 +42,27 @@ def device_search_fn(window: int, literal: int, extended: bool):
     return search
 
 
+def _pull_body_bytes(out, state):
+    """d2h only the compressed bytes.
+
+    ``out`` is the (S, max_out) uint8 device array from the commit kernel;
+    most of it is padding (max_out ~ 1.13x the RAW size, output is ~0.45x).
+    One device slice bounded by the batch's largest body, pow2-bucketed so
+    a handful of slice programs serve any batch, is pulled instead of the
+    whole buffer — the tunnel (~15 MB/s, ~30 ms/RPC) is the scarce
+    resource.  Returns a list of per-shard uint8 arrays of exact length.
+    """
+    import numpy as np
+
+    from ..ops.encode_commit_pallas import S_NBYTES
+
+    nbs = [int(r[S_NBYTES]) for r in state]
+    mx = max([1] + nbs)
+    B = min(1 << (mx - 1).bit_length(), out.shape[1])
+    blk = np.asarray(out[:, :B])
+    return [blk[i, :nb] for i, nb in enumerate(nbs)]
+
+
 def encode_v1_device_commit(
     shards,
     *,
@@ -50,10 +71,16 @@ def encode_v1_device_commit(
     lazy_matching: bool = False,
     search_fn=None,
     interpret: bool | None = None,
+    fused: bool | None = None,
 ) -> list[bytes]:
     """Fully on-chip v1 encode of a batch of shards.
 
-    The MXU search kernel computes the match tables and the Pallas
+    ``fused`` (default: whenever the compiled Pallas path is usable) runs
+    search -> pack -> commit in ONE device call (ops/encode_fused.py): the
+    raw shard bytes are the only h2d, the compressed bytes the only d2h.
+    The non-fused path computes tables via ``search_fn`` (or the NumPy
+    oracle) with a host round-trip — kept for differential testing and
+    hosts without the compiled kernels.  Either way the Pallas
     stream-commit kernel (ops/encode_commit_pallas.py) runs the greedy
     token walk + bit pack on the scalar core; the host only prepends the
     header and finishes each shard's final < 16 bytes with the
@@ -76,6 +103,8 @@ def encode_v1_device_commit(
 
     if interpret is None:
         interpret = not encode_commit_available()
+    if fused is None:
+        fused = not interpret
     W = 1 << window
     minp = compute_min_pattern_size(window, literal)
     maxpat = minp + 13
@@ -90,39 +119,56 @@ def encode_v1_device_commit(
     maxN = max(d.shape[0] for d in datas)
     NP = 1 << (max(maxN, TILE, 1) - 1).bit_length()  # pow2 ceiling, TILE-aligned
 
-    searcher = search_fn or match_tables
-    packed = np.zeros((S, NP), np.int32)
-    probe = np.zeros((S, NP), np.int32)
     npos = np.zeros(S, np.int32)
     histories = []
     for i, data in enumerate(datas):
-        dict_arr, C = model_history(data, window, literal, False, None)
+        _dict_arr, C = model_history(data, window, literal, False, None)
         histories.append(C)
         npos[i] = data.shape[0]
-        if data.shape[0] == 0:
-            continue
-        tables = searcher(data, dict_arr, window, compute_probe=lazy_matching)
-        flen, fidx = ((tables.len16, tables.idx16) if cap == 16
-                      else (tables.len15, tables.idx15))
-        n = data.shape[0]
-        packed[i, :n] = (
-            (flen[:n].astype(np.int32) << 23)
-            | (fidx[:n].astype(np.int32) << 8)
-            | data.astype(np.int32))
-        if lazy_matching:
-            probe[i, :n] = (
-                (tables.probe_len[:n].astype(np.int32) << 15)
-                | tables.probe_idx[:n].astype(np.int32))
 
     import jax.numpy as jnp
 
     max_out = NP + NP // 8 + 64
-    out, state = encode_commit_batch(
-        jnp.asarray(packed), jnp.asarray(probe), jnp.asarray(npos),
-        NP=NP, window=window, literal=literal, lazy=lazy_matching,
-        max_out=max_out, interpret=interpret)
-    out = np.asarray(out)
+    if fused:
+        from ..dictionary import dictionary_array
+        from ..ops.encode_fused import SEARCH_T, encode_v1_fused_dev
+
+        T = SEARCH_T if NP % SEARCH_T == 0 else TILE
+        batch = np.zeros((S, NP), np.uint8)
+        for i, data in enumerate(datas):
+            batch[i, : data.shape[0]] = data
+        out, state = encode_v1_fused_dev(
+            jnp.asarray(batch), jnp.asarray(npos),
+            jnp.asarray(dictionary_array(W, literal=8).astype(np.int32)),
+            window=window, literal=literal, lazy=lazy_matching, NP=NP, T=T,
+            cap=cap, max_out=max_out, interpret=interpret)
+    else:
+        searcher = search_fn or match_tables
+        packed = np.zeros((S, NP), np.int32)
+        probe = np.zeros((S, NP), np.int32)
+        for i, data in enumerate(datas):
+            if data.shape[0] == 0:
+                continue
+            dict_arr = histories[i][: 1 << window]
+            tables = searcher(
+                data, dict_arr, window, compute_probe=lazy_matching)
+            flen, fidx = ((tables.len16, tables.idx16) if cap == 16
+                          else (tables.len15, tables.idx15))
+            n = data.shape[0]
+            packed[i, :n] = (
+                (flen[:n].astype(np.int32) << 23)
+                | (fidx[:n].astype(np.int32) << 8)
+                | data.astype(np.int32))
+            if lazy_matching:
+                probe[i, :n] = (
+                    (tables.probe_len[:n].astype(np.int32) << 15)
+                    | tables.probe_idx[:n].astype(np.int32))
+        out, state = encode_commit_batch(
+            jnp.asarray(packed), jnp.asarray(probe), jnp.asarray(npos),
+            NP=NP, window=window, literal=literal, lazy=lazy_matching,
+            max_out=max_out, interpret=interpret)
     state = np.asarray(state)
+    out = _pull_body_bytes(out, state)
 
     results: list[bytes] = []
     for i, data in enumerate(datas):
@@ -130,7 +176,7 @@ def encode_v1_device_commit(
         if st[S_ERR] != 0:
             raise ExcessBitsError
         N = int(npos[i])
-        body = out[i, : int(st[S_NBYTES])].astype(np.uint8).tobytes()
+        body = out[i].tobytes()
         t = int(st[S_T])
         acc = int(st[S_ACC])
         an = int(st[S_AN])

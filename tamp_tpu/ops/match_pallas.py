@@ -191,49 +191,59 @@ def _kernel_body(seg, d, t0, window_bits, T, tables):
     static_argnames=("window_bits", "T", "tables", "n_chunks", "interpret"),
 )
 def _search_pallas(C2, d2, base, window_bits, T, tables, n_chunks, interpret):
-    """One megablock: ``n_chunks`` fixed-size chunks starting at absolute
-    stream offset ``base`` (a traced scalar — ring slots depend on it, so a
-    handful of (window, T, tables, n_chunks) programs serve any input)."""
+    """``n_chunks`` fixed-size chunks for each of S independent shards.
+
+    ``C2``/``d2`` are (S, L); ``base`` is (S,) — each shard's absolute
+    stream offset (ring slots depend on it).  The megablock host path uses
+    S=1 with a nonzero base; the fused device-encode path batches whole
+    shards (each base 0) through grid=(S, n_chunks).  A handful of
+    (window, T, tables, n_chunks) programs serve any input."""
     W = 1 << window_bits
     Qseg = _round_up(T + W + 2 * LMAX, 128)
     Rd = _round_up(T + 2 * LMAX, 128)
     n_out = 2 * len(tables)
+    S = C2.shape[0]
 
     def kernel(base_ref, C_ref, d_ref, *rest):
         out_refs = rest[:n_out]
         seg_buf, d_buf, res_buf, in_sem, out_sem = rest[n_out:]
-        i = pl.program_id(0)
+        s = pl.program_id(0)
+        i = pl.program_id(1)
         t0 = i * T
         slot = lax.rem(i, 2)
         nxt = 1 - slot
 
-        # Revolving input buffers: chunk i+1's DMA flies during i's compute.
-        def in_copies(s, idx):
+        # Revolving input buffers: chunk i+1's DMA flies during i's compute
+        # (within a shard; the first chunk of each shard pays one stall).
+        def in_copies(sl, sh, idx):
             t = idx * T
             return (
                 pltpu.make_async_copy(
-                    C_ref.at[:, pl.ds(t, Qseg)], seg_buf.at[s], in_sem.at[s, 0]
+                    C_ref.at[sh, :, pl.ds(t, Qseg)], seg_buf.at[sl],
+                    in_sem.at[sl, 0]
                 ),
                 pltpu.make_async_copy(
-                    d_ref.at[:, pl.ds(t, Rd)], d_buf.at[s], in_sem.at[s, 1]
+                    d_ref.at[sh, :, pl.ds(t, Rd)], d_buf.at[sl],
+                    in_sem.at[sl, 1]
                 ),
             )
 
         @pl.when(i == 0)
         def _():
-            for cp in in_copies(slot, i):
+            for cp in in_copies(slot, s, i):
                 cp.start()
 
         @pl.when(i + 1 < n_chunks)
         def _():
-            for cp in in_copies(nxt, i + 1):
+            for cp in in_copies(nxt, s, i + 1):
                 cp.start()
 
-        for cp in in_copies(slot, i):
+        for cp in in_copies(slot, s, i):
             cp.wait()
 
         res = _kernel_body(
-            seg_buf[slot], d_buf[slot], base_ref[0, 0] + t0, window_bits, T, tables
+            seg_buf[slot], d_buf[slot], base_ref[s] + t0, window_bits, T,
+            tables
         )
 
         # Previous step's output DMAs must land before reusing the buffers.
@@ -241,7 +251,8 @@ def _search_pallas(C2, d2, base, window_bits, T, tables, n_chunks, interpret):
         def _():
             for k in range(n_out):
                 pltpu.make_async_copy(
-                    res_buf.at[k], out_refs[k].at[:, pl.ds((i - 1) * T, T)],
+                    res_buf.at[k],
+                    out_refs[k].at[s, :, pl.ds((i - 1) * T, T)],
                     out_sem.at[k],
                 ).wait()
 
@@ -254,24 +265,27 @@ def _search_pallas(C2, d2, base, window_bits, T, tables, n_chunks, interpret):
                 k += 2
         for k in range(n_out):
             pltpu.make_async_copy(
-                res_buf.at[k], out_refs[k].at[:, pl.ds(t0, T)], out_sem.at[k]
+                res_buf.at[k], out_refs[k].at[s, :, pl.ds(t0, T)],
+                out_sem.at[k]
             ).start()
 
         @pl.when(i == n_chunks - 1)
         def _():
             for k in range(n_out):
                 pltpu.make_async_copy(
-                    res_buf.at[k], out_refs[k].at[:, pl.ds(t0, T)], out_sem.at[k]
+                    res_buf.at[k], out_refs[k].at[s, :, pl.ds(t0, T)],
+                    out_sem.at[k]
                 ).wait()
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_chunks,),
+        grid=(S, n_chunks),
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_chunks * T), jnp.int32) for _ in range(n_out)
+            jax.ShapeDtypeStruct((S, 1, n_chunks * T), jnp.int32)
+            for _ in range(n_out)
         ],
         in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -284,8 +298,12 @@ def _search_pallas(C2, d2, base, window_bits, T, tables, n_chunks, interpret):
             pltpu.SemaphoreType.DMA((n_out,)),
         ],
         interpret=interpret,
-    )(base.reshape(1, 1).astype(jnp.int32), C2, d2)
-    return outs
+    )(
+        base.reshape(-1).astype(jnp.int32),
+        C2.reshape(S, 1, -1),
+        d2.reshape(S, 1, -1),
+    )
+    return [o.reshape(S, -1) for o in outs]
 
 
 @functools.lru_cache(maxsize=1)

@@ -63,6 +63,42 @@ def test_config_sweep(window, literal, rng):
     assert got == want
 
 
+@pytest.mark.parametrize("lazy", [False, True])
+def test_fused_device_call_parity(lazy):
+    """The single-call fused path (ops/encode_fused.py: on-device search ->
+    pack -> commit, interpret mode here) matches the native encoder
+    byte-for-byte, including tails, empties, and runs."""
+    nrng = np.random.default_rng(77)
+    shards = [
+        _corpus(3000, nrng),
+        b"b" * 500 + _corpus(600, nrng),
+        bytes(nrng.integers(0, 256, 1024, np.uint8)),
+        b"",
+        _corpus(17, nrng),
+    ]
+    got = encode_v1_device_commit(
+        shards, window=10, literal=8, lazy_matching=lazy, interpret=True,
+        fused=True)
+    for s, g in zip(shards, got):
+        want = bytes(_native.native_compress(
+            s, window=10, literal=8, extended=False, lazy_matching=lazy))
+        assert g == want, len(s)
+
+
+@pytest.mark.parametrize("window,literal", [(8, 8), (11, 5)])
+def test_fused_config_sweep(window, literal):
+    """Fused path across the cap-15/cap-16 table split (w=8,l=8 -> cap 15;
+    w=11,l=5 -> minp 3, cap 16)."""
+    nrng = np.random.default_rng(window * 131 + literal)
+    mask = (1 << literal) - 1
+    data = bytes(b & mask for b in _corpus(2500, nrng))
+    got = encode_v1_device_commit(
+        [data], window=window, literal=literal, interpret=True, fused=True)[0]
+    want = bytes(_native.native_compress(
+        data, window=window, literal=literal, extended=False))
+    assert got == want
+
+
 def test_excess_bits_raises():
     with pytest.raises(ExcessBitsError):
         encode_v1_device_commit(
