@@ -121,8 +121,11 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
     assert bytes(decompress_sharded(blob_opt)) == data
 
     # On-chip codec probe (killable subprocess: the TPU tunnel can stall):
-    # stream-commit decode + encode kernel rates and the container
-    # device-decode end-to-end rate, on a 2 MB slice.
+    # end-to-end aggregate rates for the on-chip codec at its intended
+    # batch geometry (8 x 1 MB shards per call — the ~30 ms/RPC tunnel
+    # latency and the kernel pipelining both need real batches; see
+    # tools/transfer_probe.py).  Encode output is parity-checked against
+    # the native engine before timing.
     device = None
     dev_src = """
 import json, sys, time
@@ -132,24 +135,30 @@ if jax.default_backend() != "tpu":
     raise SystemExit(1)
 from bench import build_corpus
 from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded_device
-data = build_corpus(2 << 20)
+DEV_MB = 8
+data = build_corpus(DEV_MB << 20)
 blob = compress_sharded(data, engine="native", shard_size=1 << 20)
 out = decompress_sharded_device(blob)   # compile (cached across rounds)
 assert bytes(out) == data
-t0 = time.perf_counter()
-assert bytes(decompress_sharded_device(blob)) == data
-dec_s = time.perf_counter() - t0
-from tamp_tpu.engine.pipeline import device_search_fn, encode_v1_device_commit
-search = device_search_fn(10, 8, False)
-enc = encode_v1_device_commit([data[: 1 << 20]], window=10, literal=8,
-                              search_fn=search, interpret=False)[0]
-t0 = time.perf_counter()
-encode_v1_device_commit([data[: 1 << 20]], window=10, literal=8,
-                        search_fn=search, interpret=False)
-enc_s = time.perf_counter() - t0
+dec_s = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    assert bytes(decompress_sharded_device(blob)) == data
+    dec_s = min(dec_s, time.perf_counter() - t0)
+blob_dev = compress_sharded(data, engine="device-commit", extended=False,
+                            shard_size=1 << 20)
+assert blob_dev == compress_sharded(data, engine="native", extended=False,
+                                    lazy_matching=False, shard_size=1 << 20)
+enc_s = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    compress_sharded(data, engine="device-commit", extended=False,
+                     shard_size=1 << 20)
+    enc_s = min(enc_s, time.perf_counter() - t0)
 print(json.dumps({{
     "container_decode_mb_s": round(len(data) / dec_s / 1e6, 2),
-    "v1_encode_mb_s": round((1 << 20) / enc_s / 1e6, 2),
+    "v1_encode_mb_s": round(len(data) / enc_s / 1e6, 2),
+    "device_batch_mb": DEV_MB,
 }}))
 """.format(root=os.path.dirname(os.path.abspath(__file__)))
     try:

@@ -120,10 +120,7 @@ def encode_v1_device_commit(
     NP = 1 << (max(maxN, TILE, 1) - 1).bit_length()  # pow2 ceiling, TILE-aligned
 
     npos = np.zeros(S, np.int32)
-    histories = []
     for i, data in enumerate(datas):
-        _dict_arr, C = model_history(data, window, literal, False, None)
-        histories.append(C)
         npos[i] = data.shape[0]
 
     import jax.numpy as jnp
@@ -134,15 +131,39 @@ def encode_v1_device_commit(
         from ..ops.encode_fused import SEARCH_T, encode_v1_fused_dev
 
         T = SEARCH_T if NP % SEARCH_T == 0 else TILE
-        batch = np.zeros((S, NP), np.uint8)
-        for i, data in enumerate(datas):
-            batch[i, : data.shape[0]] = data
-        out, state = encode_v1_fused_dev(
-            jnp.asarray(batch), jnp.asarray(npos),
-            jnp.asarray(dictionary_array(W, literal=8).astype(np.int32)),
-            window=window, literal=literal, lazy=lazy_matching, NP=NP, T=T,
-            cap=cap, max_out=max_out, interpret=interpret)
+        dict_dev = jnp.asarray(dictionary_array(W, literal=8).astype(np.int32))
+
+        # Pipeline the batch in (at most) two device calls: the tunnel's
+        # h2d RPC for the second group flies while the first group's
+        # kernels run, and JAX's async dispatch queues the second group's
+        # compute behind it.  More groups would pay ~30 ms of fixed RPC
+        # latency each (tools/transfer_probe.py) for no extra overlap.
+        groups = [list(range(S))]
+        if S >= 4:
+            h = (S + 1) // 2
+            groups = [list(range(h)), list(range(h, S))]
+        handles = []
+        for g in groups:
+            batch = np.zeros((len(g), NP), np.uint8)
+            for k, i in enumerate(g):
+                batch[k, : datas[i].shape[0]] = datas[i]
+            handles.append(encode_v1_fused_dev(
+                jnp.asarray(batch), jnp.asarray(npos[g]), dict_dev,
+                window=window, literal=literal, lazy=lazy_matching, NP=NP,
+                T=T, cap=cap, max_out=max_out, interpret=interpret))
+
+        # Host model histories (tail-stitch inputs) overlap device compute.
+        histories = [
+            model_history(d, window, literal, False, None)[1] for d in datas]
+        if len(handles) == 1:
+            out, state = handles[0]
+        else:
+            outs = [h[0] for h in handles]
+            out = jnp.concatenate(outs, axis=0)
+            state = jnp.concatenate([h[1] for h in handles], axis=0)
     else:
+        histories = [
+            model_history(d, window, literal, False, None)[1] for d in datas]
         searcher = search_fn or match_tables
         packed = np.zeros((S, NP), np.int32)
         probe = np.zeros((S, NP), np.int32)
@@ -237,10 +258,10 @@ def encode_v1_device_commit(
         for v, nb in fields:
             acc = (acc << nb) | v
             an += nb
-            while an >= 8:
-                tail.append((acc >> (an - 8)) & 0xFF)
-                an -= 8
-                acc &= (1 << an) - 1
+        while an >= 8:  # the fields kernel's remainder can be up to 31 bits
+            tail.append((acc >> (an - 8)) & 0xFF)
+            an -= 8
+            acc &= (1 << an) - 1
         if an:
             tail.append((acc << (8 - an)) & 0xFF)
 

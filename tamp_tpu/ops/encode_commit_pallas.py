@@ -250,7 +250,7 @@ def plan_fields(packed, *, window: int, literal: int):
                     ).astype(jnp.int32)
     if window <= 11:  # value <= 9 + window <= 20 bits; 20+11 = 31
         return (A << 11) | (nb << 6) | (adv << 1) | err, None
-    return A, nb | (adv << 5) | (err << 10)
+    return A, nb | (adv << 6) | (err << 14)
 
 
 CHAIN = 4          # committed units per loop iteration
@@ -258,7 +258,8 @@ OUT_CHUNK_W = OUT_CHUNK // 4   # output flush granularity in 32-bit words
 
 
 def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
-                   dma_sem, *, dual: bool, max_out: int):
+                   dma_sem, *, dual: bool, max_out: int, tile: int,
+                   chain: int):
     """Planned-fields commit: push precomputed bit fields, drain 32-bit
     words, jump by the precomputed advance.
 
@@ -275,7 +276,7 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
     """
     s = pl.program_id(0)
     i = pl.program_id(1)
-    base = i * TILE
+    base = i * tile
     OMASK_W = 2 * OUT_CHUNK_W - 1
     SINK = 2 * OUT_CHUNK_W  # predicated-off drain steps land here
 
@@ -305,7 +306,7 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
             st[k] = 0
         st[_CI] = -1
 
-    stop = jnp.minimum(base + TILE, hard_stop)
+    stop = jnp.minimum(base + tile, hard_stop)
 
     def cond(carry):
         t = carry[0]
@@ -313,16 +314,16 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
 
     def body(carry):
         t, nwords, lo, hi, an, err, flushed = carry
-        for _ in range(CHAIN):
+        for _ in range(chain):
             live = (t < stop) & (err == ERR_OK)
-            off = jnp.minimum(t - base, TILE - 1)
+            off = jnp.minimum(t - base, tile - 1)
             q = jnp.where(live, a_ref[0, 0, off], 0)
             if dual:
                 m = jnp.where(live, b_ref[0, 0, off], 0)
                 v = q
-                nb = m & 31
-                adv = (m >> 5) & 31
-                uerr = m & 1024
+                nb = m & 63
+                adv = (m >> 6) & 255
+                uerr = m & (1 << 14)
             else:
                 v = (q >> 11) & 0x1FFFFF
                 nb = (q >> 6) & 31
@@ -333,7 +334,7 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
             lo = (lo << nb) | v
             an = an + nb
             # predicated one-word drain (an < 32 before any push, pushes
-            # are <= 24 bits => at most one word completes per unit)
+            # are <= 31 bits => at most one word completes per unit)
             d = (an >= 32).astype(jnp.int32)
             k = jnp.maximum(an - 32, 0)
             w = ((hi << (31 - k)) << 1) | (
@@ -345,7 +346,7 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
             err = jnp.where(uerr != 0, jnp.int32(ERR_EXCESS), err)
             t = jnp.where(uerr != 0, npos, t + adv)
 
-        # <= CHAIN words drained per iteration, far below a 128-word
+        # <= chain words drained per iteration, far below a 128-word
         # chunk: at most one boundary crossed; branch almost never taken
         cross = (nwords // OUT_CHUNK_W > flushed).astype(jnp.int32)
 
@@ -384,24 +385,26 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NP", "dual", "max_out", "interpret"))
+    static_argnames=("NP", "dual", "max_out", "tile", "chain", "interpret"))
 def _commit_fields_batch(A, B, npos, *, NP: int, dual: bool, max_out: int,
+                         tile: int = TILE, chain: int = CHAIN,
                          interpret: bool = False):
     S = A.shape[0]
-    n_tiles = NP // TILE
+    n_tiles = NP // tile
     mw = -(-max_out // 4)
     mpad_w = -(-mw // OUT_CHUNK_W) * OUT_CHUNK_W + OUT_CHUNK_W
     n_in = jnp.zeros((S, 1, 8), jnp.int32).at[:, 0, 0].set(npos)
-    kern = functools.partial(_kernel_fields, dual=dual, max_out=max_out)
+    kern = functools.partial(_kernel_fields, dual=dual, max_out=max_out,
+                             tile=tile, chain=chain)
     if B is None:
         B = A  # dead operand keeps the call signature static
     out, state = pl.pallas_call(
         kern,
         grid=(S, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
+            pl.BlockSpec((1, 1, tile), lambda s, i: (s, 0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
+            pl.BlockSpec((1, 1, tile), lambda s, i: (s, 0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -437,9 +440,10 @@ def _commit_fields_batch(A, B, npos, *, NP: int, dual: bool, max_out: int,
 @functools.partial(
     jax.jit,
     static_argnames=("NP", "window", "literal", "lazy", "max_out",
-                     "interpret"))
+                     "tile", "chain", "interpret"))
 def encode_commit_batch(packed, probe, npos, *, NP: int, window: int,
                         literal: int, lazy: bool, max_out: int,
+                        tile: int = TILE, chain: int = CHAIN,
                         interpret: bool = False):
     """Steady-state v1 commit of S shards.
 
@@ -456,7 +460,8 @@ def encode_commit_batch(packed, probe, npos, *, NP: int, window: int,
     if not lazy:
         A, Bf = plan_fields(packed, window=window, literal=literal)
         return _commit_fields_batch(A, Bf, npos, NP=NP, dual=Bf is not None,
-                                    max_out=max_out, interpret=interpret)
+                                    max_out=max_out, tile=tile, chain=chain,
+                                    interpret=interpret)
     S = packed.shape[0]
     n_tiles = NP // TILE
     mpad = -(-max_out // OUT_CHUNK) * OUT_CHUNK + OUT_CHUNK
