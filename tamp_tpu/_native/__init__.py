@@ -158,11 +158,18 @@ def native_compress(
     avoid_divergence: bool = False,
     khat=None,
     plan=None,
+    force_planned: bool = False,
 ) -> bytes:
     """One-shot compression via the native committer.
 
     ``tables`` is an optional MatchTables (from the TPU search) — without it
     the native engine runs its own exact scalar search.
+
+    ``force_planned`` enables the committer's planned-mode semantics (RLE
+    ring-end split, one-shot extended search, boundary capping) even when
+    ``plan`` is empty — the tokenization the device planner reproduces
+    (ops/plan_ext.py).  Without it an empty plan runs the reference-style
+    path (byte parity with the reference encoder when no runs are planned).
     """
     lib = _load()
     if lib is None:
@@ -198,11 +205,13 @@ def native_compress(
     khat_p = None
     plan_p = None
     n_plan = 0
-    if plan is not None and len(plan):
+    if (plan is not None and len(plan)) or force_planned:
         if khat is None:
             raise ValueError("a run plan requires the khat mapping")
-        plan_arr = np.ascontiguousarray(plan, dtype=np.int64).reshape(-1)
-        n_plan = plan_arr.shape[0] // 2
+        plan_arr = np.ascontiguousarray(
+            plan if plan is not None and len(plan) else np.zeros((1, 2)),
+            dtype=np.int64).reshape(-1)
+        n_plan = plan_arr.shape[0] // 2 if plan is not None and len(plan) else 0
         plan_p = plan_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     if khat is not None:
         khat_arr = np.ascontiguousarray(khat, dtype=np.uint32)

@@ -582,6 +582,33 @@ struct Committer {
     int count = rle_count; rle_count = 0;
     uint8_t b = last_ring_byte();
     if (count == 1) { emit_literal(b); return; }
+    if (plan) {
+      // Planned-mode ring-end policy: the decoder's RLE write truncates at
+      // the ring end (never wraps); instead of letting the true ring
+      // diverge from the model, split the token there.  Steady-state
+      // splits happen in step() (consume-limited, so the remainder is
+      // re-evaluated exactly like the device planner's next walk entry);
+      // this path only sees accumulated counts (tail/drain), where the
+      // remainder stays accumulated.
+      int wr0 = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+      int r = W - pos;
+      if (wr0 > r) {
+        if (r >= 2) {
+          bw->huff(RLE_SYM);
+          bw->ext_value(r - 2, RLE_TRAIL);
+          uint8_t fill[RLE_MAX_WIN];
+          std::memset(fill, b, sizeof fill);
+          ring_push_run(fill, r);  // fills exactly to the ring end
+          rle_count = count - r;
+          rle_start += r;
+          return;
+        }
+        if (!emit_literal(b)) return;  // r == 1: one literal crosses the end
+        rle_count = count - 1;
+        rle_start += 1;
+        return;
+      }
+    }
     bw->huff(RLE_SYM);
     bw->ext_value(count - 2, RLE_TRAIL);
     int wr = count; if (wr > RLE_MAX_WIN) wr = RLE_MAX_WIN;
@@ -604,7 +631,12 @@ struct Committer {
       if (remn - count == 1) count--;
       bw->huff(RLE_SYM);
       bw->ext_value(count - 2, RLE_TRAIL);
-      int w_plan = count < RLE_MAX_WIN ? count : RLE_MAX_WIN;
+      // The window write follows the model: khat encodes the planner's
+      // kept count per chunk (ring-end aware with the exact model,
+      // engine/plan.py build_model_history(window_bits=...); min(8, count)
+      // with the legacy keep rule).  Truncation beyond the model's keep is
+      // tracked as a deletion (legacy khat only).
+      int w_plan = (int)(khat[t + count] - khat[t]);
       int wr = w_plan < (W - pos) ? w_plan : (W - pos);
       uint8_t fill[RLE_MAX_WIN];
       std::memset(fill, b, sizeof fill);
@@ -640,6 +672,38 @@ struct Committer {
     bw->put((uint32_t)ext_pos, wbits);
     ring_selfcopy_ext(ext_pos, ext_count, ext_start);
     ext_count = 0; ext_pos = 0;
+  }
+
+  // Planned-mode extended emit (one-shot, no growth state): the match was
+  // found as the TRUE longest (lowest index among maximal, boundary cap
+  // applied afterward with the index kept) — the formulation the device
+  // planner reproduces from a single max-length table (ops/plan_ext.py).
+  // Valid either way: a longer match's prefix is a match at the same index.
+  void emit_ext_planned(int idx, int m) {
+    if (avoid_divergence && m > W - pos) {
+      int room = W - pos;
+      if (room >= minp + 12) {
+        // Shorten to exactly fill the ring; re-tokenize the tail.
+        bw->huff(EXT_SYM);
+        bw->ext_value(room - minp - 12, EXT_TRAIL);
+        bw->put((uint32_t)idx, wbits);
+        ring_selfcopy_ext(idx, room, t);
+        t += room;
+      } else {
+        // Too little room for an extended token: basic match (wrap write).
+        int L = m < minp + 11 ? m : minp + 11;
+        bw->huff(L - minp);
+        bw->put((uint32_t)idx, wbits);
+        ring_push_run(data + t, L);
+        t += L;
+      }
+      return;
+    }
+    bw->huff(EXT_SYM);
+    bw->ext_value(m - minp - 12, EXT_TRAIL);
+    bw->put((uint32_t)idx, wbits);
+    ring_selfcopy_ext(idx, m, t);
+    t += m;
   }
 
   // one reference "poll": consume input until one token (or buffer need)
@@ -726,6 +790,25 @@ struct Committer {
         if (!use_pattern) {
           cached_idx = -1;
           if (rle_count == 0) rle_start = t;
+          if (plan && rle_count == 0) {
+            // Steady-state ring-end split: consume only up to the ring
+            // end so the remainder re-enters the full decision at the
+            // next step — exactly the device planner's next walk entry
+            // (ops/plan_ext.py).
+            int wr0 = total < RLE_MAX_WIN ? total : RLE_MAX_WIN;
+            int r = W - pos;
+            if (wr0 > r) {
+              if (r >= 2) {
+                t += r;
+                rle_count = r;
+                emit_rle();
+                return;
+              }
+              if (!emit_literal(data[t])) return;  // r == 1
+              t += 1;
+              return;
+            }
+          }
           t += avail;
           rle_count = total;
           emit_rle();
@@ -763,6 +846,20 @@ struct Committer {
 
     if (size >= minp) {
       if (extended && size > minp + 11) {
+        if (plan && !from_cache) {
+          // One-shot: longest match over the whole window (lowest index
+          // among maximal), then cap at the planned boundary keeping the
+          // index.  Replaces the byte-at-a-time growth loop in planned
+          // mode (the cached-match entry keeps the growth path: its
+          // emit-at-equal-length keeps the cached index, which a
+          // max-length table cannot represent).
+          SearchResult r = chain_search(
+              data + t, (int)(N - t < (int64_t)maxpat ? N - t : maxpat),
+              maxpat, 0);
+          int m = (int)((int64_t)r.size < rem ? (int64_t)r.size : rem);
+          emit_ext_planned(r.idx, m);
+          return;
+        }
         ext_pos = idx; ext_count = size; ext_start = t;
         t += size;
       } else {
@@ -786,7 +883,11 @@ struct Committer {
       }
       // flush drain: pending RLE / extended state.  A divergence-avoiding
       // extended emit may hand back unconsumed bytes (t < N): keep going.
-      if (extended && rle_count) emit_rle();
+      // (A planned-mode ring-end split can leave a remainder: loop.)
+      while (extended && rle_count) {
+        emit_rle();
+        if (excess_bits || bw->overflow) break;
+      }
       if (extended && ext_count) emit_ext_match();
       if (excess_bits) return -2;
       if (bw->overflow) return -1;

@@ -62,7 +62,7 @@ def encode_extended(
         dict_arr = dictionary_array(W, literal=literal)
 
     plans = plan_runs(data)
-    keep, khat, data_hat = build_model_history(data, plans)
+    keep, khat, data_hat = build_model_history(data, plans, window)
 
     searcher = search_fn or match_tables
     tables = searcher(data_hat, dict_arr, window, compute_probe=lazy_matching)

@@ -1,0 +1,370 @@
+"""On-chip EXTENDED-format encode: planned model + Pallas field commit.
+
+Pipeline (mirrors engine/pipeline.encode_v1_device_commit for the extended
+format, reference default config):
+
+  1. host: run plan + exact ring-aware model history (engine/plan.py) —
+     the true ring never diverges from C-hat, so every walk decision is a
+     pure function of position;
+  2. match tables on the model stream: cap-16 (first-search) and
+     cap-maxpat (one-shot extended search) — engine/search_np oracles or
+     the Pallas kernel via ``search_fn``;
+  3. VPU field planning (ops/plan_ext.py) + the Pallas planned-fields
+     commit kernel (ops/encode_commit_pallas, dual mode);
+  4. host: the final < 16 model bytes replayed by an exact Python port of
+     the native planned committer (_ext_tail_fields), bit-stitched onto
+     the kernel remainder.
+
+Byte parity contract: output equals the native committer at
+``force_planned=True, avoid_divergence=True`` exactly
+(tests/test_encode_ext_device.py), and therefore decodes in every Tamp
+implementation.  Reference anchor for the format semantics:
+BrianPugh/tamp tamp/_c_src/tamp/compressor.c:437-525 (RLE/extended state
+machines); the planned-mode tokenization itself is this project's design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    EXTENDED_MATCH_SYMBOL,
+    HUFFMAN_CODES,
+    HUFFMAN_LENGTHS,
+    RLE_SYMBOL,
+    compute_min_pattern_size,
+)
+from .plan import RLE_MAX, build_model_history, plan_runs
+
+__all__ = ["encode_ext_device_commit"]
+
+_BIG = 1 << 30
+
+
+def _region_arrays(plans, khat, M: int):
+    """Model-space region arrays for the planner.
+
+    Returns (bound, rle_c, rle_k): distance-to-next-region-start is left to
+    the caller as absolute starts (bound holds the next region's model
+    start, _BIG past the last); rle_c/rle_k hold each forced chunk's input
+    run count and kept (model) length at the chunk's model start.
+    """
+    bound = np.full(M, _BIG, np.int32)
+    rle_c = np.zeros(M, np.int32)
+    rle_k = np.zeros(M, np.int32)
+    for s, e in plans[::-1]:  # reverse: fill bound back-to-front
+        ms = int(khat[s])
+        bound[:ms] = ms
+        t = int(s)
+        while t < e:
+            remn = int(e - t)
+            c = remn if remn < RLE_MAX else RLE_MAX
+            if remn - c == 1:
+                c -= 1
+            mp = int(khat[t])
+            rle_c[mp] = c
+            rle_k[mp] = int(khat[t + c] - khat[t])
+            t += c
+    return bound, rle_c, rle_k
+
+
+def _rle_field_py(count: int):
+    v = count - 2
+    sec, trail = v >> 4, v & 15
+    sb = HUFFMAN_LENGTHS[sec] - 1
+    value = ((HUFFMAN_CODES[RLE_SYMBOL] << sb | HUFFMAN_CODES[sec]) << 4) | trail
+    return value, HUFFMAN_LENGTHS[RLE_SYMBOL] + sb + 4
+
+
+def _ext_field_py(m: int, idx: int, minp: int, window: int):
+    v = m - minp - 12
+    sec, trail = v >> 3, v & 7
+    sb = HUFFMAN_LENGTHS[sec] - 1
+    value = ((HUFFMAN_CODES[EXTENDED_MATCH_SYMBOL] << sb | HUFFMAN_CODES[sec])
+             << 3) | trail
+    return (value << window) | idx, HUFFMAN_LENGTHS[EXTENDED_MATCH_SYMBOL] + sb + 3 + window
+
+
+def _ext_tail_fields(data, t: int, kwr: int, last: int, plans, khat,
+                     l16, i16, lx, ix, *, window: int, literal: int):
+    """Exact Python port of the native planned-mode walk from input
+    position ``t`` (model position ``kwr``); returns the remaining token
+    fields [(value, nbits), ...].
+
+    ``last``: the most recent model byte (ring byte behind the write head).
+    Tables are MODEL-space.  Raises ExcessBitsError like the committer.
+    """
+    from ..exceptions import ExcessBitsError
+
+    N = len(data)
+    W = 1 << window
+    minp = compute_min_pattern_size(window, literal)
+    lit_flag = 1 << literal
+    lit_limit = 256 if literal == 8 else lit_flag
+    fields: list[tuple[int, int]] = []
+    n_plan = len(plans)
+    plan_i = 0
+    rle_count = 0
+
+    def lit(b):
+        if b >= lit_limit:
+            raise ExcessBitsError
+        fields.append((lit_flag | int(b), literal + 1))
+
+    def drain_rle():
+        nonlocal rle_count, kwr, last
+        while rle_count:
+            count = rle_count
+            rle_count = 0
+            if count == 1:
+                lit(last)
+                kwr += 1
+                return
+            wr0 = count if count < 8 else 8
+            r = W - (kwr % W)
+            if wr0 > r:
+                if r >= 2:
+                    fields.append(_rle_field_py(r))
+                    kwr += r
+                    rle_count = count - r
+                    continue
+                lit(last)
+                kwr += 1
+                rle_count = count - 1
+                continue
+            fields.append(_rle_field_py(count))
+            kwr += wr0
+            return
+
+    while t < N:
+        while plan_i < n_plan and t >= plans[plan_i][1]:
+            plan_i += 1
+        B = int(plans[plan_i][0]) if plan_i < n_plan else _BIG
+        # t >= B: at the region start, or resuming at a mid-region chunk
+        # start (the kernel can stop on any forced chunk; the chunk layout
+        # rule is left-greedy, so restarting it from a chunk boundary
+        # yields the original chunks)
+        if not rle_count and plan_i < n_plan and t >= B:
+            e = int(plans[plan_i][1])
+            plan_i += 1
+            while t < e:  # forced chunks (model-exact keeps via khat)
+                remn = e - t
+                c = remn if remn < RLE_MAX else RLE_MAX
+                if remn - c == 1:
+                    c -= 1
+                fields.append(_rle_field_py(c))
+                kwr += int(khat[t + c] - khat[t])
+                t += c
+            continue
+        rem = min(N - t, B - t)
+        pend = rem if rem < 16 else 16
+        avail = 0
+        while (avail < pend and data[t + avail] == last
+               and rle_count + avail < RLE_MAX):
+            avail += 1
+        total = rle_count + avail
+        ended = (avail < pend) or (total >= RLE_MAX) or (t + avail >= B)
+        if not ended and total > 0:
+            rle_count = total
+            t += avail
+            continue
+        if total >= 2:
+            use_pattern = False
+            if total == avail and total <= 6:
+                k = int(khat[t])
+                if min(int(l16[k]), rem, 16) > total:
+                    use_pattern = True
+            if not use_pattern:
+                if rle_count == 0:
+                    wr0 = total if total < 8 else 8
+                    r = W - (kwr % W)
+                    if wr0 > r:  # steady ring-end split: consume-limited
+                        if r >= 2:
+                            t += r
+                            rle_count = r
+                            drain_rle()
+                            continue
+                        lit(data[t])  # r == 1
+                        kwr += 1
+                        last = int(data[t])
+                        t += 1
+                        continue
+                t += avail
+                rle_count = total
+                drain_rle()
+                continue
+            rle_count = 0
+        elif total == 1:
+            if rle_count == 1:
+                rle_count = 0
+                lit(last)
+                kwr += 1
+                continue
+            rle_count = 0
+        k = int(khat[t])
+        size = min(int(l16[k]), rem, 16)
+        idx = int(i16[k])
+        if size >= minp:
+            if size > minp + 11:
+                m = min(int(lx[k]), rem)
+                mi = int(ix[k])
+                r = W - (kwr % W)
+                if m > r:
+                    if r >= minp + 12:
+                        fields.append(_ext_field_py(r, mi, minp, window))
+                        kwr += r
+                        t += r
+                    else:
+                        L = minp + 11
+                        fields.append((
+                            (HUFFMAN_CODES[L - minp] << window) | mi,
+                            HUFFMAN_LENGTHS[L - minp] + window))
+                        kwr += L
+                        t += L
+                else:
+                    fields.append(_ext_field_py(m, mi, minp, window))
+                    kwr += m
+                    t += m
+            else:
+                fields.append((
+                    (HUFFMAN_CODES[size - minp] << window) | idx,
+                    HUFFMAN_LENGTHS[size - minp] + window))
+                kwr += size
+                t += size
+            last = int(data[t - 1])
+            continue
+        lit(data[t])
+        kwr += 1
+        last = int(data[t])
+        t += 1
+    drain_rle()
+    return fields
+
+
+def encode_ext_device_commit(
+    shards,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    search_fn=None,
+    interpret: bool | None = None,
+) -> list[bytes]:
+    """Fully on-chip extended-format encode of a batch of shards.
+
+    Output is byte-identical to the native planned committer
+    (``force_planned=True, avoid_divergence=True``) — a valid extended
+    Tamp stream every decoder accepts.  Lazy matching is not supported on
+    this path (the probe feeds back into the walk state); windows above
+    ops.plan_ext.MAX_PLAN_WINDOW (13) exceed the 31-bit field budget —
+    both stay on the host engine.
+    """
+    import jax.numpy as jnp
+
+    from ..dictionary import dictionary_array
+    from ..exceptions import ExcessBitsError
+    from ..ops.encode_commit_pallas import (
+        S_ACC, S_AN, S_ERR, S_NBYTES, S_T, TILE, _commit_fields_batch,
+        encode_commit_available,
+    )
+    from ..ops.plan_ext import MAX_PLAN_WINDOW, plan_fields_ext
+    from .encode import build_header
+    from .search_np import match_tables, match_tables_ext
+
+    if window > MAX_PLAN_WINDOW:
+        raise ValueError(
+            f"device extended encode supports window <= {MAX_PLAN_WINDOW}")
+    if interpret is None:
+        interpret = not encode_commit_available()
+    W = 1 << window
+    minp = compute_min_pattern_size(window, literal)
+    maxpat = minp + 131
+    dict_arr = dictionary_array(W, literal=literal)
+    dlast = int(dict_arr[-1])
+
+    datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in shards]
+    S = len(datas)
+    if S == 0:
+        return []
+
+    searcher = search_fn or match_tables
+    prep = []
+    for data in datas:
+        plans = plan_runs(data)
+        keep, khat, dh = build_model_history(data, plans, window)
+        t16 = searcher(dh, dict_arr, window, compute_probe=False)
+        lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
+        bound, rle_c, rle_k = _region_arrays(plans, khat, dh.shape[0])
+        prep.append((plans, keep, khat, dh, t16, lx, ix, bound, rle_c, rle_k))
+
+    maxM = max(p[3].shape[0] for p in prep)
+    MP = 1 << (max(maxM, TILE, 1) - 1).bit_length()
+    npos = np.asarray([p[3].shape[0] for p in prep], np.int32)
+
+    def pad(rows, fill, dtype=np.int32):
+        out = np.full((S, MP), fill, dtype)
+        for i, r in enumerate(rows):
+            out[i, : r.shape[0]] = r
+        return out
+
+    dh_b = pad([p[3].astype(np.int32) for p in prep], 0x1FF)
+    l16_b = pad([np.asarray(p[4].len16, np.int32) for p in prep], 0)
+    i16_b = pad([np.asarray(p[4].idx16, np.int32) for p in prep], 0)
+    lx_b = pad([p[5] for p in prep], 0)
+    ix_b = pad([p[6] for p in prep], 0)
+    # bound as a distance (planner compares lengths against it)
+    bnd_b = pad([np.minimum(p[7] - np.arange(p[7].shape[0]), _BIG).astype(np.int32)
+                 for p in prep], _BIG)
+    rc_b = pad([p[8] for p in prep], 0)
+    rk_b = pad([p[9] for p in prep], 0)
+
+    A, B = plan_fields_ext(
+        jnp.asarray(dh_b), jnp.asarray(l16_b), jnp.asarray(i16_b),
+        jnp.asarray(lx_b), jnp.asarray(ix_b), jnp.asarray(bnd_b),
+        jnp.asarray(rc_b), jnp.asarray(rk_b),
+        window=window, literal=literal, dlast=dlast)
+
+    max_out = MP + MP // 8 + 64
+    out, state = _commit_fields_batch(
+        A, B, jnp.asarray(npos), NP=MP, dual=True, max_out=max_out,
+        interpret=interpret)
+    state = np.asarray(state)
+    from .pipeline import _pull_body_bytes
+
+    bodies = _pull_body_bytes(out, state)
+
+    results: list[bytes] = []
+    for i, data in enumerate(datas):
+        st = state[i]
+        if st[S_ERR] != 0:
+            raise ExcessBitsError
+        plans, keep, khat, dh, t16, lx, ix, _, _, _ = prep[i]
+        t_m = int(st[S_T])
+        acc, an = int(st[S_ACC]), int(st[S_AN])
+        body = bodies[i].tobytes()
+        M = dh.shape[0]
+        if t_m < M:
+            kept_pos = np.flatnonzero(keep)
+            t_in = int(kept_pos[t_m])
+            last = int(dh[t_m - 1]) if t_m else dlast
+            fields = _ext_tail_fields(
+                data, t_in, t_m, last, plans, khat,
+                np.asarray(t16.len16), np.asarray(t16.idx16), lx, ix,
+                window=window, literal=literal)
+        elif data.shape[0] == 0:
+            fields = []
+        else:
+            fields = []
+        tail = bytearray()
+        for v, nb in fields:
+            acc = (acc << nb) | v
+            an += nb
+        while an >= 8:  # the fields kernel's remainder can be up to 31 bits
+            tail.append((acc >> (an - 8)) & 0xFF)
+            an -= 8
+            acc &= (1 << an) - 1
+        if an:
+            tail.append((acc << (8 - an)) & 0xFF)
+        (hv, hn), = build_header(window, literal, False, True, False)
+        assert hn == 8
+        results.append(bytes([hv]) + body + bytes(tail))
+    return results

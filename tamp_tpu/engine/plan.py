@@ -15,6 +15,17 @@ Plan layout per maximal run ``[s, e)`` of length >= 9:
   leaving a trailing single byte); each chunk writes its first
   ``min(8, chunk)`` bytes to the window, the rest are deleted from the
   model history.
+
+When ``window_bits`` is given to :func:`build_model_history`, chunk writes
+are additionally truncated at the ring end (``W - pos`` at the chunk's
+model position), mirroring the decoder's no-wrap RLE write semantics
+(docs/specification.md).  Together with the committer's planned-mode
+ring-end policies (RLE split, extended-match split/shorten —
+_native/tampnative.cpp), this makes the model history *exact*: the true
+ring never diverges from C-hat, which is what lets the device planner
+(ops/plan_ext.py) precompute every walk decision from the tables alone.
+Chunk keeps then depend on the ring position at the chunk start, which
+depends on earlier keeps — resolved left-to-right over the (few) regions.
 """
 
 from __future__ import annotations
@@ -46,30 +57,56 @@ def plan_runs(data: np.ndarray) -> np.ndarray:
     return np.stack([s + 1, e], axis=1).astype(np.int64)
 
 
-def _chunk_keep_mask(length: int) -> np.ndarray:
-    """Keep-mask for one RLE region of ``length`` bytes under the chunk rule."""
+def _chunk_keep_mask(length: int, pos: int = -1, W: int = 0) -> np.ndarray:
+    """Keep-mask for one RLE region of ``length`` bytes under the chunk rule.
+
+    ``pos``/``W``: ring position at the region's model start; when given,
+    each chunk's window write is truncated at the ring end (never wraps),
+    so the kept count is ``min(8, chunk, W - pos_at_chunk)``.
+    """
     keep = np.zeros(length, dtype=bool)
     t = 0
     while t < length:
         c = min(RLE_MAX, length - t)
         if length - t - c == 1:
             c -= 1
-        keep[t : t + min(RLE_MAX_WIN, c)] = True
+        k = min(RLE_MAX_WIN, c)
+        if pos >= 0:
+            k = min(k, W - pos)
+            pos = (pos + k) % W
+        keep[t : t + k] = True
         t += c
     return keep
 
 
-def build_model_history(data: np.ndarray, plans: np.ndarray):
+def build_model_history(data: np.ndarray, plans: np.ndarray,
+                        window_bits: int | None = None):
     """(keep_mask, khat, data_hat) for the planned model history.
 
     ``khat[t]`` = number of model-written bytes among input positions < t,
     with one extra trailing entry (``khat[N]``); ``data_hat`` = the written
     byte stream the window model sees (``C-hat`` minus the dictionary).
+
+    With ``window_bits`` the keeps are ring-end aware (exact model — see
+    module docstring); without it, the legacy keep rule (the committer
+    then tracks truncations as dynamic deletions).
     """
     n = data.shape[0]
     keep = np.ones(n, dtype=bool)
-    for s, e in plans:
-        keep[s:e] = _chunk_keep_mask(e - s)
+    if window_bits is None:
+        for s, e in plans:
+            keep[s:e] = _chunk_keep_mask(e - s)
+    else:
+        W = 1 << window_bits
+        kept_before = 0  # kept count over [0, prev region end)
+        prev_end = 0
+        for s, e in plans:
+            kept_before += int(s - prev_end)  # inter-region bytes: all kept
+            pos = kept_before % W  # model position of the region start
+            m = _chunk_keep_mask(e - s, pos, W)
+            keep[s:e] = m
+            kept_before += int(m.sum())
+            prev_end = e
     khat = np.zeros(n + 1, dtype=np.uint32)
     khat[1:] = np.cumsum(keep, dtype=np.uint32)
     return keep, khat, data[keep]

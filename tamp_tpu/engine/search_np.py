@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["match_tables", "MatchTables"]
+__all__ = ["match_tables", "match_tables_ext", "MatchTables"]
 
 LMAX = 16  # longest match observable by the reference's 16-byte look-ahead
 
@@ -67,6 +67,106 @@ def _runs_1d(bits: np.ndarray, cap: int) -> np.ndarray:
         run = run & nxt
         length += run
     return length
+
+
+def _runs_1d_log(bits: np.ndarray, cap: int) -> np.ndarray:
+    """_runs_1d via log-doubling (O(log cap) passes), capped at ``cap``."""
+    n = bits.shape[0]
+    L = bits.astype(np.int32)
+    k = 1
+    while k < cap:
+        nxt = np.zeros(n, np.int32)
+        if k < n:
+            nxt[: n - k] = L[k:]
+        L = L + np.where(L == k, nxt, 0)
+        k *= 2
+    return np.minimum(L, cap)
+
+
+def match_tables_ext(
+    data: np.ndarray,
+    dictionary: np.ndarray,
+    window_bits: int,
+    maxpat: int,
+    chunk_rows: int | None = None,
+):
+    """Max-length match table for the extended format (oracle).
+
+    Per position ``t``: the longest linear-buffer match of ``data[t:]``
+    against the v1 ring model, capped at ``maxpat`` (= min_pattern + 131),
+    with the lowest ring index among the maximal-length matches — the
+    result of the planned-mode committer's one-shot extended search
+    (_native/tampnative.cpp emit_ext_planned entry).  Returns
+    ``(len_ext int32 (N,), idx_ext int32 (N,))``.
+
+    Same candidate geometry as :func:`match_tables` with the look-ahead
+    widened from 16 to ``maxpat`` (log-doubled runs, glue diagonals
+    delta = 1..maxpat-1).
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dictionary = np.ascontiguousarray(dictionary, dtype=np.uint8)
+    W = 1 << window_bits
+    if dictionary.shape[0] != W:
+        raise ValueError("dictionary size must equal window size")
+    N = data.shape[0]
+    LEXT = int(maxpat)
+    len_e = np.zeros(N, np.int32)
+    idx_e = np.zeros(N, np.int32)
+    if N == 0:
+        return len_e, idx_e
+
+    C = np.concatenate([dictionary, data, np.zeros(LEXT + 1, dtype=np.uint8)])
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    slid = sliding_window_view(C, W)
+    cols = np.arange(W, dtype=np.int32)
+    n_glue = min(LEXT, W) - 1
+    if chunk_rows is None:
+        chunk_rows = max(128, (1 << 22) // W)
+
+    for t0 in range(0, N, chunk_rows):
+        T = min(chunk_rows, N - t0)
+        R = T + LEXT
+        rows = min(R, N - t0)
+        eq = np.zeros((R, W), dtype=np.uint8)
+        eq[:rows] = slid[t0 : t0 + rows] == data[t0 : t0 + rows, None]
+
+        # log-doubled run lengths down each column, capped at LEXT
+        L = eq.astype(np.int32)
+        k = 1
+        while k < LEXT:
+            nxt = np.zeros_like(L)
+            nxt[: R - k] = L[k:]
+            L = L + np.where(L == k, nxt, 0)
+            k *= 2
+        length = np.minimum(L[:T], LEXT)
+
+        gd = {}
+        for d in range(1, n_glue + 1):
+            seg = data[t0 + d : t0 + d + T]
+            bits = np.zeros(T, dtype=np.uint8)
+            bits[: seg.shape[0]] = seg == C[t0 : t0 + seg.shape[0]]
+            gd[d] = _runs_1d_log(bits, LEXT)
+
+        tau = ((t0 + np.arange(T, dtype=np.int64)) % W).astype(np.int32)
+        x = (tau[:, None] + cols[None, :]) % W
+        cap = W - x
+        r_idx = np.arange(T)
+
+        usable = length.copy()
+        for delta in range(1, n_glue + 1):
+            j = W - delta
+            glue = (tau >= delta) & (usable[:, j] >= delta)
+            if glue.any():
+                total = delta + np.minimum(gd[delta], LEXT - delta)
+                usable[:, j] = np.where(glue, total, usable[:, j])
+        u = np.minimum(usable, cap)
+        score = u * W + (cap - 1)
+        j_best = np.argmax(score, axis=1)
+        len_e[t0 : t0 + T] = u[r_idx, j_best]
+        idx_e[t0 : t0 + T] = x[r_idx, j_best]
+
+    return len_e, idx_e
 
 
 def match_tables(

@@ -1,0 +1,221 @@
+"""VPU field planning for the extended-format (planned-mode) commit walk.
+
+The planned model history is *exact* (engine/plan.py builds ring-end-aware
+keeps; the native committer's planned-mode ring-end policies — RLE split,
+extended-match split/shorten, one-shot extended search — never let the
+true ring diverge from C-hat).  Every decision of the planned walk is then
+a pure function of the position:
+
+    arrival at model position p  ->  (bit field, bit count, advance)
+
+computed elementwise here from the match tables, the run structure of the
+model stream, and the ring position ``p mod W``.  The scalar-core kernel
+(ops/encode_commit_pallas._kernel_fields, dual mode) just pushes fields
+and jumps — identical to the v1 planned-fields walk, with 8-bit advances
+(RLE chunks advance up to 8 kept bytes, extended matches up to 133).
+
+Semantics anchor: _native/tampnative.cpp step() (planned branches) —
+byte parity with the native planned committer is asserted by
+tests/test_encode_ext_device.py.
+
+Field widths (flag included in HUFFMAN_LENGTHS):
+  literal               1 + literal                 <= 9
+  fused literal pair    2 * (1 + literal)           <= 18
+  basic match           len(sym) + window           <= 9 + 15
+  RLE                   9 + (len(sec) - 1) + 4      <= 21
+  extended match        7 + (len(sec) - 1) + 3 + window = 18 + window
+
+All fields fit 31 bits for window <= 13; window 14/15 extended stays on
+the host engine (engine/encode_extended.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import (
+    EXTENDED_MATCH_SYMBOL,
+    HUFFMAN_CODES,
+    HUFFMAN_LENGTHS,
+    RLE_SYMBOL,
+    compute_min_pattern_size,
+)
+
+__all__ = ["plan_fields_ext", "MAX_PLAN_WINDOW"]
+
+MAX_PLAN_WINDOW = 13  # extended field must fit 31 bits (18 + window)
+
+
+def _sec_codes(trail: int):
+    """(code, nbits) int32 tables for the secondary huffman + trail form,
+    indexed by the secondary symbol (0..14)."""
+    codes, bits = [], []
+    for sym in range(15):
+        codes.append(int(HUFFMAN_CODES[sym]))
+        bits.append(int(HUFFMAN_LENGTHS[sym]) - 1 + trail)
+    return codes, bits
+
+
+def _select(table, idx):
+    """Elementwise table lookup via compare-select (no gather)."""
+    out = jnp.zeros_like(idx)
+    for i, v in enumerate(table):
+        out = jnp.where(idx == i, v, out)
+    return out
+
+
+def _rle_field(count, window: int):
+    """(value, nbits) of an RLE token for run length ``count`` (>= 2)."""
+    v = count - 2
+    sec = v >> 4
+    trail = v & 15
+    sc, sb = _sec_codes(4)
+    scode = _select(sc, sec)
+    sbits = _select(sb, sec)
+    head = int(HUFFMAN_CODES[RLE_SYMBOL])
+    hb = int(HUFFMAN_LENGTHS[RLE_SYMBOL])
+    value = (((head << (sbits - 4)) | scode) << 4) | trail
+    return value, hb + sbits
+
+
+def _ext_field(m, idx, minp: int, window: int):
+    """(value, nbits) of an extended-match token of size ``m`` at ``idx``."""
+    v = m - minp - 12
+    sec = v >> 3
+    trail = v & 7
+    sc, sb = _sec_codes(3)
+    scode = _select(sc, sec)
+    sbits = _select(sb, sec)
+    head = int(HUFFMAN_CODES[EXTENDED_MATCH_SYMBOL])
+    hb = int(HUFFMAN_LENGTHS[EXTENDED_MATCH_SYMBOL])
+    value = ((((head << (sbits - 3)) | scode) << 3) | trail)
+    value = (value << window) | idx
+    return value, hb + sbits + window
+
+
+def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+                    *, window: int, literal: int, dlast: int):
+    """Per-position fields for the planned extended walk.
+
+    All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
+    dictionary): ``dh`` model bytes (padding value > 255); ``len16/idx16``
+    cap-16 match table; ``lenx/idxx`` cap-maxpat table; ``bound`` distance
+    to the next forced-RLE region start (large when none); ``rle_c`` > 0
+    at forced-RLE chunk starts = the chunk's input run count, with
+    ``rle_k`` its kept (model) length.  ``dlast``: the dictionary's last
+    byte (ring byte behind model position 0).
+
+    Returns (A, B): field values and ``nb | adv << 6 | err << 14`` meta.
+    """
+    minp = compute_min_pattern_size(window, literal)
+    W = 1 << window
+    lit_flag = 1 << literal
+    lit_limit = 256 if literal == 8 else lit_flag
+    nbl = literal + 1
+    MP = dh.shape[1]
+    p_i = lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+    posring = p_i & (W - 1)
+    room = W - posring
+
+    last = jnp.roll(dh, 1, axis=1).at[:, 0].set(dlast)
+    is_pad = dh > 255
+
+    # ---- run structure: avail[p] = bytes at p.. equal to last[p] --------
+    chg = (dh != last) | is_pad
+    nxt = jnp.where(chg, p_i, MP)
+    # next change strictly after p: reverse cummin of change positions,
+    # shifted one left
+    nch = lax.associative_scan(jnp.minimum, nxt, reverse=True, axis=1)
+    nch_after = jnp.roll(nch, -1, axis=1).at[:, -1].set(MP)
+    avail = jnp.where(chg, 0, jnp.minimum(nch_after, MP) - p_i)
+    avail = jnp.minimum(avail, 16)  # pend cap (steady state)
+
+    # ---- first-search result (boundary-capped, table idx kept) ----------
+    size1 = jnp.minimum(jnp.minimum(len16, bound), 16)
+
+    total = avail
+    use_pattern = (total >= 2) & (total <= 6) & (size1 > total)
+    do_rle = (total >= 2) & ~use_pattern
+
+    # ---- RLE action (with ring-end split) --------------------------------
+    split = total > room  # total <= 7 < 8 in steady state
+    rle_cnt = jnp.where(split, room, total)
+    lit1 = split & (room == 1)  # 1-byte remainder crosses the ring end
+    rv, rn = _rle_field(jnp.maximum(rle_cnt, 2), window)
+
+    # ---- pattern action ---------------------------------------------------
+    is_match = size1 >= minp
+    ext_entry = is_match & (size1 > minp + 11)
+    m = jnp.minimum(lenx, bound)
+    # avoid-divergence policy
+    ext_fits = m <= room
+    ext_short = (~ext_fits) & (room >= minp + 12)
+    ext_basic = (~ext_fits) & (room < minp + 12)
+    m_emit = jnp.where(ext_fits, m, room)
+    ev, en = _ext_field(jnp.maximum(m_emit, minp + 12), idxx, minp, window)
+    # basic-match field (covers both the plain match and the ext fallback)
+    bm_len = jnp.where(ext_entry, minp + 11, size1)
+    bm_idx = jnp.where(ext_entry, idxx, idx16)
+    sym = jnp.clip(bm_len - minp, 0, 11)
+    hsel = jnp.zeros_like(dh)
+    for sy in range(12):
+        code = (int(HUFFMAN_CODES[sy]) << window) | (
+            int(HUFFMAN_LENGTHS[sy]) + window) << 25
+        hsel = jnp.where(sym == sy, code, hsel)
+    bv = (hsel & 0x1FFFFFF) | bm_idx
+    bn = (hsel >> 25) & 31
+
+    # ---- literal ----------------------------------------------------------
+    lv = lit_flag | (dh & 0xFF)
+    lerr = dh >= lit_limit
+    # the RLE split literal repeats `last` (== dh[p] inside a run)
+    lsv = lit_flag | (last & 0xFF)
+    lserr = last >= lit_limit
+
+    # ---- compose ----------------------------------------------------------
+    # priority: forced-RLE chunk start > dynamic RLE > pattern > literal
+    is_lit = ~do_rle & ~is_match
+    A = jnp.where(is_lit, lv, 0)
+    nb = jnp.where(is_lit, nbl, 0)
+    adv = jnp.where(is_lit, 1, 0)
+    err = jnp.where(is_lit, lerr, False)
+
+    use_bm = is_match & (~ext_entry | ext_basic) & ~do_rle
+    use_ev = is_match & ext_entry & ~ext_basic & ~do_rle
+    A = jnp.where(use_bm, bv, A)
+    nb = jnp.where(use_bm, bn, nb)
+    adv = jnp.where(use_bm, bm_len, adv)
+    A = jnp.where(use_ev, ev, A)
+    nb = jnp.where(use_ev, en, nb)
+    adv = jnp.where(use_ev, jnp.where(ext_short, room, m), adv)
+
+    A = jnp.where(do_rle & ~lit1, rv, A)
+    nb = jnp.where(do_rle & ~lit1, rn, nb)
+    adv = jnp.where(do_rle & ~lit1, rle_cnt, adv)
+    A = jnp.where(do_rle & lit1, lsv, A)
+    nb = jnp.where(do_rle & lit1, nbl, nb)
+    adv = jnp.where(do_rle & lit1, 1, adv)
+    err = jnp.where(do_rle, jnp.where(lit1, lserr, False), err)
+
+    # forced-RLE chunk starts override everything (walk inside regions)
+    fr = rle_c >= 2
+    fv, fn = _rle_field(jnp.maximum(rle_c, 2), window)
+    A = jnp.where(fr, fv, A)
+    nb = jnp.where(fr, fn, nb)
+    adv = jnp.where(fr, rle_k, adv)
+    err = jnp.where(fr, False, err)
+
+    # ---- fuse literal pairs ----------------------------------------------
+    is_lit_all = (nb == nbl) & (adv == 1)  # any single-literal action
+    nxt_lit = jnp.roll(is_lit_all, -1, axis=1).at[:, -1].set(False)
+    pair = is_lit_all & nxt_lit
+    A2 = jnp.roll(A, -1, axis=1)
+    e2 = jnp.roll(err, -1, axis=1)
+    A = jnp.where(pair, (A << nbl) | A2, A)
+    nb = jnp.where(pair, 2 * nbl, nb)
+    adv = jnp.where(pair, 2, adv)
+    err = jnp.where(pair, err | e2, err)
+
+    B = nb | (adv << 6) | (err.astype(jnp.int32) << 14)
+    return A, B

@@ -283,18 +283,42 @@ def compress_sharded(
     data = bytes(data)
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
     if engine == "device-commit":
-        # Fully on-chip v1 encode: MXU search + Pallas stream-commit, all
-        # shards in one batched kernel call (engine/pipeline); byte-identical
-        # to engine="native" at extended=False.
-        if extended:
-            raise ValueError(
-                "device-commit is v1-only (extended commit stays host-side)")
-        from ..engine.pipeline import encode_v1_device_commit
+        # Fully on-chip encode: MXU search + Pallas planned-fields commit,
+        # all shards batched (engine/pipeline, engine/pipeline_ext).
+        # v1 output is byte-identical to engine="native"; extended output
+        # is byte-identical to the native planned committer
+        # (force_planned=True, avoid_divergence=True) — a valid stream
+        # every Tamp decoder accepts.
         from ..ops.encode_commit_pallas import encode_commit_available
         from ..ops.match_pallas import pallas_available
 
+        have_kernels = encode_commit_available() and pallas_available()
+        if extended:
+            from ..ops.plan_ext import MAX_PLAN_WINDOW
+
+            if lazy_matching:
+                raise ValueError(
+                    "device-commit extended does not support lazy matching "
+                    "(the probe feeds back into the walk state); use "
+                    "engine='native' or lazy_matching=False")
+            if window > MAX_PLAN_WINDOW:
+                raise ValueError(
+                    f"device-commit extended supports window <= "
+                    f"{MAX_PLAN_WINDOW}; use engine='native'")
+            from ..engine.pipeline_ext import encode_ext_device_commit
+
+            search = None
+            if have_kernels:
+                from ..engine.pipeline import device_search_fn
+
+                search = device_search_fn(window, literal, True)
+            blobs = encode_ext_device_commit(
+                shards, window=window, literal=literal, search_fn=search)
+            return _pack_frame(blobs, len(data), shard_size)
+        from ..engine.pipeline import encode_v1_device_commit
+
         search = None
-        if encode_commit_available() and pallas_available():
+        if have_kernels:
             from ..engine.pipeline import device_search_fn
 
             search = device_search_fn(window, literal, False)

@@ -137,5 +137,16 @@ def test_container_device_commit_engine():
         data, engine="native", extended=False, shard_size=1 << 14)
     assert blob == want
     assert bytes(decompress_sharded(blob)) == data
+    # extended device-commit: valid container, exact round-trip (per-shard
+    # byte parity vs the forced-planned native committer is pinned in
+    # tests/test_encode_ext_device.py)
+    blob_ext = compress_sharded(
+        data, engine="device-commit", extended=True, shard_size=1 << 14)
+    assert bytes(decompress_sharded(blob_ext)) == data
+    assert len(blob_ext) < len(blob)
     with pytest.raises(ValueError):
-        compress_sharded(data, engine="device-commit", extended=True)
+        compress_sharded(data, engine="device-commit", extended=True,
+                         lazy_matching=True)
+    with pytest.raises(ValueError):
+        compress_sharded(data, engine="device-commit", extended=True,
+                         window=14)

@@ -1,0 +1,135 @@
+"""On-chip EXTENDED-format encode parity.
+
+``engine.pipeline_ext.encode_ext_device_commit`` must be byte-identical to
+the native planned committer (``force_planned=True``,
+``avoid_divergence=True``) — the tokenization the VPU planner
+(ops/plan_ext.py) reproduces — across configs, data shapes, and ring-end
+edge cases, and every stream must round-trip through the native decoder
+(and the reference decoder: the stream is plain extended Tamp).
+
+Runs the commit kernel in interpreter mode on the CPU suite; the compiled
+kernel runs the same program on TPU.
+"""
+
+import numpy as np
+import pytest
+
+from tamp_tpu import _native
+from tamp_tpu.dictionary import dictionary_array
+from tamp_tpu.engine.pipeline_ext import encode_ext_device_commit
+from tamp_tpu.engine.plan import build_model_history, plan_runs
+from tamp_tpu.engine.search_np import MatchTables, match_tables
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason=f"native unavailable: {_native.load_error()}"
+)
+
+
+def native_planned(data: bytes, window: int, literal: int) -> bytes:
+    """The parity oracle: native committer in forced-planned mode."""
+    W = 1 << window
+    arr = np.frombuffer(data, np.uint8)
+    plans = plan_runs(arr)
+    keep, khat, dh = build_model_history(arr, plans, window)
+    t16 = match_tables(dh, dictionary_array(W, literal=literal), window)
+    rows = np.minimum(
+        khat[:-1].astype(np.int64), max(0, dh.shape[0] - 1)).astype(np.int64)
+    g = MatchTables(t16.len16[rows], t16.idx16[rows],
+                    t16.len16[rows], t16.idx16[rows], None, None)
+    return _native.native_compress(
+        arr.tobytes(), window=window, literal=literal, extended=True,
+        lazy_matching=False, tables=g, avoid_divergence=True,
+        khat=khat, plan=plans, force_planned=True)
+
+
+def _gen(rng, kind: int, n: int, lmask: int) -> bytes:
+    if kind == 0:  # run-heavy: forced-RLE regions, ring-end chunk splits
+        out, tot = [], 0
+        while tot < n:
+            c = int(rng.integers(1, 500))
+            b = int(rng.integers(0, 6)) & lmask
+            out.append(bytes([b]) * c)
+            tot += c
+        return b"".join(out)[:n]
+    if kind == 1:  # periodic: extended matches, ring-end ext splits
+        p = bytes(int(x) & lmask for x in
+                  rng.integers(0, 256, int(rng.integers(2, 30))))
+        return (p * (n // len(p) + 1))[:n]
+    if kind == 2:  # text-ish: literals + short matches + short RLE
+        words = [bytes(int(x) & lmask for x in rng.integers(97, 123, int(k)))
+                 for k in rng.integers(2, 9, 64)]
+        sep = bytes([1 & lmask])
+        return sep.join(words[int(i) % 64]
+                        for i in rng.integers(0, 64, n // 4))[:n]
+    return bytes(int(x) & lmask for x in rng.integers(0, 256, n))
+
+
+@pytest.mark.parametrize("window,literal", [(8, 8), (10, 8), (11, 6), (13, 8)])
+def test_config_sweep_parity(window, literal):
+    rng = np.random.default_rng(window * 77 + literal)
+    lmask = (1 << literal) - 1
+    for kind in range(4):
+        n = int(rng.integers(64, (1 << window) + (1 << window) // 2))
+        data = _gen(rng, kind, n, lmask)
+        want = native_planned(data, window, literal)
+        got = encode_ext_device_commit(
+            [data], window=window, literal=literal, interpret=True)[0]
+        assert got == want, (window, literal, kind, n)
+        assert bytes(_native.native_decompress(got)) == data
+
+
+def test_batch_shapes_and_edges():
+    rng = np.random.default_rng(5)
+    shards = [
+        _gen(rng, 2, 3000, 255),
+        b"a" * 2000,                                 # one big planned run
+        b"xy" + b"\x00" * 9 + b"xy" + b"\x00" * 300,  # runs at both scales
+        bytes(rng.integers(0, 256, 1500, np.uint8)),  # incompressible
+        b"",
+        b"z",
+        _gen(rng, 1, 17, 255),                        # almost all tail
+        _gen(rng, 0, 1030, 255),                      # region spans ring end
+    ]
+    got = encode_ext_device_commit(shards, window=10, literal=8,
+                                   interpret=True)
+    for s, g in zip(shards, got):
+        assert g == native_planned(s, 10, 8), len(s)
+        assert bytes(_native.native_decompress(g)) == s
+
+
+def test_reference_decoder_accepts():
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from tamp.decompressor import Decompressor as RefDecompressor
+    except Exception:
+        pytest.skip("reference package unavailable")
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(9)
+    data = _gen(rng, 0, 4000, 255) + _gen(rng, 2, 3000, 255)
+    blob = encode_ext_device_commit([data], window=10, literal=8,
+                                    interpret=True)[0]
+    assert bytes(RefDecompressor(io.BytesIO(blob)).read()) == data
+
+
+def test_ratio_close_to_greedy_native():
+    """The planned tokenization must compress comparably to the reference
+    greedy encoder (same format, different token choices)."""
+    rng = np.random.default_rng(3)
+    data = _gen(rng, 2, 20_000, 255)
+    dev = encode_ext_device_commit([data], window=10, literal=8,
+                                   interpret=True)[0]
+    ref = _native.native_compress(data, window=10, literal=8, extended=True)
+    assert len(dev) <= len(ref) * 1.02
+
+
+def test_excess_bits_raises():
+    from tamp_tpu.exceptions import ExcessBitsError
+
+    with pytest.raises(ExcessBitsError):
+        encode_ext_device_commit([b"\xff" * 64], window=10, literal=7,
+                                 interpret=True)
