@@ -176,9 +176,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dictionary size in bytes (default: 1 << window)")
     b.add_argument("--delimiter", type=str, default=None,
                    help="treat corpus as one file split on this delimiter")
-    b.add_argument("--min-saved-bits", type=int, default=6)
+    b.add_argument("--trim-threshold", "--min-saved-bits", type=int, default=8,
+                   dest="trim_threshold",
+                   help="minimum length for common-substring extraction")
+    b.add_argument("--target-fill", type=float, default=1.0,
+                   help="max fraction of the window filled with corpus content")
     b.add_argument("--auto-trim", action="store_true",
                    help="sweep trim thresholds for the best compressed size")
+    b.add_argument("--auto-size", action="store_true",
+                   help="sweep fill levels and pick the marginal-return knee")
     return ap
 
 
@@ -250,8 +256,9 @@ def main(argv=None) -> int:
 
         dictionary = build_dictionary_from_path(
             args.corpus, window=args.window, size=args.size,
-            delimiter=args.delimiter, min_saved_bits=args.min_saved_bits,
-            auto_trim=args.auto_trim,
+            delimiter=args.delimiter, trim_threshold=args.trim_threshold,
+            target_fill=args.target_fill, auto_trim=args.auto_trim,
+            auto_size=args.auto_size,
         )
         args.output.write_bytes(bytes(dictionary))
         print(f"Wrote {len(dictionary)}-byte dictionary to {args.output}",

@@ -95,5 +95,21 @@ def test_build_dictionary_end_to_end(tmp_path):
 def test_dictbuild_knee():
     from tamp_tpu.dictbuild import find_knee
 
-    assert find_knee([0, 100, 200, 300], [0, 80, 120, 125]) == 2
-    assert find_knee([0], [0]) == 0
+    # compressed totals fall fast to 200 effective bytes, then plateau
+    assert find_knee([(0, 500), (100, 420), (200, 380), (300, 375)]) == 200
+    assert find_knee([(0, 500)]) == 0
+
+
+def test_cli_build_dictionary_auto_size(tmp_path):
+    from tamp_tpu.cli.main import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(6):
+        (corpus / f"s{i}").write_bytes(
+            b"sensor[%d] status=ok temperature=21.5C\n" % i * 8)
+    out = tmp_path / "dict.bin"
+    rc = main(["build-dictionary", str(corpus), "-o", str(out),
+               "-w", "8", "--auto-size"])
+    assert rc == 0
+    assert out.stat().st_size == 256

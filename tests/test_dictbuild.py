@@ -77,49 +77,55 @@ def test_match_cost_extended_and_chained():
 # ---- scoring ----------------------------------------------------------------
 
 def test_score_substrings_finds_heavy_phrase():
-    scored = score_substrings(_corpus(), window=10, literal=8)
-    assert scored, "no candidates scored"
-    # scores sorted descending
-    assert [s for s, _ in scored] == sorted((s for s, _ in scored), reverse=True)
-    top_blob = b"|".join(g for _, g in scored[:50])
+    scores, multi = score_substrings(_corpus(), window=10, literal=8)
+    assert scores, "no candidates scored"
+    ranked = sorted(scores.items(), key=lambda t: -t[1])
+    top_blob = b"|".join(g for g, _ in ranked[:50])
     assert b"temperature" in top_blob or b"application/json" in top_blob
+    # multi-frag entries appear in >= 2 samples
+    assert all(g in scores or len(g) >= 2 for g in list(multi)[:10])
 
 
 def test_score_substrings_min_count_prunes_singletons():
     samples = [b"abcdefgh_unique_once", b"zzzz_different_zzzz"]
-    scored = score_substrings(samples, window=10, literal=8, min_count=2)
-    for _, g in scored:
-        # every candidate must occur >= 2 times across the corpus
-        assert sum(s.count(g) for s in samples) >= 2
+    scores, _multi = score_substrings(samples, window=10, literal=8, min_count=2)
+    for g in scores:
+        # every candidate must appear in >= 2 samples
+        assert sum(1 for s in samples if g in s) >= 2
 
 
 def test_score_substrings_empty_corpus():
-    assert score_substrings([], window=10, literal=8) == []
-    assert score_substrings([b""], window=10, literal=8) == []
+    assert score_substrings([], window=10, literal=8) == ({}, set())
+    assert score_substrings([b""], window=10, literal=8) == ({}, set())
 
 
 # ---- selection & packing ----------------------------------------------------
 
 def test_select_candidates_skips_covered_substrings():
-    scored = [(100, b"hello world"), (90, b"lo wor"), (80, b"goodbye")]
-    chosen = select_candidates(scored, capacity=64)
-    texts = [g for _, g in chosen]
-    assert b"hello world" in texts
-    assert b"lo wor" not in texts  # covered by "hello world"
-    assert b"goodbye" in texts
+    cands = [(b"hello world", 100.0), (b"lo wor", 90.0), (b"goodbye", 80.0)]
+    multi = {g for g, _ in cands}
+    chosen = select_candidates(cands, multi, budget=64, overlap_threshold=3)
+    assert b"hello world" in chosen
+    assert b"lo wor" not in chosen  # shares a 3-gram with "hello world"
+    assert b"goodbye" in chosen
 
 
 def test_select_candidates_respects_capacity():
-    scored = [(10 - i, bytes([65 + i]) * 10) for i in range(10)]
-    chosen = select_candidates(scored, capacity=25)
-    assert sum(len(g) for _, g in chosen) <= 25
+    cands = [(bytes([65 + i]) * 10, float(10 - i)) for i in range(10)]
+    multi = {g for g, _ in cands}
+    chosen = select_candidates(cands, multi, budget=25, overlap_threshold=3)
+    # selection stops once the budget is reached (last accept may overshoot
+    # by less than one entry, matching the reference kernel)
+    assert sum(len(g) for g in chosen) <= 35
+    assert len(chosen) == 3
 
 
 def test_pack_dictionary_rightmost_most_valuable():
     size = 256
     chosen = [(1000, b"DENSEST!"), (10, b"sparse-entry-sparse")]
-    out = pack_dictionary(chosen, size)
+    out, used = pack_dictionary(chosen, size)
     assert len(out) == size
+    assert used == 27
     # densest entry occupies the right edge
     assert bytes(out[-8:]) == b"DENSEST!"
     assert bytes(out[-8 - 19 : -8]) == b"sparse-entry-sparse"
@@ -129,9 +135,19 @@ def test_pack_dictionary_rightmost_most_valuable():
 
 
 def test_pack_dictionary_overflow_entries_dropped():
-    out = pack_dictionary([(5, b"X" * 40), (4, b"Y" * 40)], 64)
+    out, used = pack_dictionary([(5, b"X" * 40), (4, b"Y" * 40)], 64)
     assert len(out) == 64
+    assert used == 40
     assert bytes(out[-40:]) == b"X" * 40  # denser fits; Y (40 more) cannot
+
+
+def test_pack_dictionary_position_ordering():
+    # late-appearing entries (q3 position near 1.0) go to the right edge
+    entries = [(b"EARLYearly", 100.0, 0.1), (b"LATTERlate", 100.0, 0.9)]
+    out, used = pack_dictionary(entries, 128)
+    assert used == 20
+    assert bytes(out[-10:]) == b"LATTERlate"
+    assert bytes(out[-20:-10]) == b"EARLYearly"
 
 
 # ---- end-to-end builds ------------------------------------------------------
@@ -184,15 +200,26 @@ def test_find_best_trim_threshold_sweeps():
 # ---- knee analysis ----------------------------------------------------------
 
 def test_find_knee_picks_marginal_return_point():
-    sizes = [0, 100, 200, 300, 400]
-    gains = [0, 1000, 1900, 1950, 1960]  # returns collapse after 200
-    assert find_knee(sizes, gains) == 2
+    # (effective bytes, compressed total): returns collapse after 200
+    results = [(0, 5000), (100, 4000), (200, 3100), (300, 3050), (400, 3040)]
+    assert find_knee(results) == 200
 
 
 def test_find_knee_edge_cases():
-    assert find_knee([], []) == 0
-    assert find_knee([100], [5]) == 0
-    assert find_knee([0, 100], [0, 10]) == 1  # linear: last point
+    assert find_knee([(100, 5)]) == 100
+    assert find_knee([(0, 100), (100, 90)]) == 100  # two points: last
+    # nearly linear: every fill level worthwhile -> full size
+    lin = [(i * 100, 5000 - i * 400) for i in range(5)]
+    assert find_knee(lin) == 400
+
+
+def test_build_dictionary_auto_size_knee():
+    samples = _corpus(n_samples=10)
+    d = build_dictionary(samples, window=8, auto_size=True)
+    assert len(d) == 256
+    with_dict = evaluate_dictionary_tradeoff(samples, bytes(d), window=8)
+    without = sum(len(tamp_tpu.compress(s, window=8)) for s in samples)
+    assert with_dict < without
 
 
 # ---- CLI path helper --------------------------------------------------------
