@@ -527,7 +527,7 @@ def wavefront_decode_payload(payload: bytes, *, window: int, literal: int,
         [bytes(payload)], window=window, literal=literal, extended=extended,
         more=more, dict_init=dict_init, dict_reset=dict_reset, max_out=max_out)
     _raise_err(int(errs[0]))
-    return outs[0, : int(lens[0])].tobytes()
+    return np.asarray(outs[0])[: int(lens[0])].tobytes()
 
 
 def _raise_err(e: int) -> None:
@@ -572,7 +572,9 @@ def _decode_group(payloads, *, window, literal, extended, more, dict_init,
         jnp.asarray(np.asarray(dict_reset, np.int32)),
         NBP=8 * L, window=window, literal=literal, extended=extended,
         more=more, max_out=max_out, mode=mode)
-    return np.asarray(outs).astype(np.uint8), np.asarray(lens), np.asarray(errs)
+    # device handles: the caller pulls results after dispatching every
+    # group, so the tunnel's h2d/d2h RPCs overlap group k+1's kernels
+    return outs, lens, errs
 
 
 def decode_shards_wavefront(shards, *, dictionary=None, max_out: int,
@@ -613,25 +615,45 @@ def decode_shards_wavefront(shards, *, dictionary=None, max_out: int,
             raise ValueError("reserved header byte must be zero")
         payloads.append(bytes(s[skip:]))
 
-    out: list[bytes] = []
+    # Two groups pipeline the tunnel: group 2's h2d RPC flies while group
+    # 1's kernels run, and group 1's d2h overlaps group 2's compute (JAX
+    # async dispatch).  More groups pay ~30 ms of fixed RPC latency each.
+    total = sum(len(p) for p in payloads)
+    budget_cap = group_payload_bytes
+    if len(payloads) > 1:
+        budget_cap = min(budget_cap, max(1, -(-total // 2)))
+
+    groups: list[list[bytes]] = []
     i = 0
     while i < len(payloads):
         j = i + 1
         budget = len(payloads[i])
-        while j < len(payloads) and budget + len(payloads[j]) <= group_payload_bytes:
+        while j < len(payloads) and budget + len(payloads[j]) <= budget_cap:
             budget += len(payloads[j])
             j += 1
-        group = payloads[i:j]
+        groups.append(payloads[i:j])
+        i = j
+
+    handles = []
+    for group in groups:
         if all(len(p) == 0 for p in group):
-            out.extend(b"" for _ in group)
-            i = j
+            handles.append(None)
             continue
-        outs, lens, errs = _decode_group(
+        handles.append(_decode_group(
             group, window=window, literal=literal, extended=extended,
             more=more, dict_init=dict_init, dict_reset=default_dict,
-            max_out=max_out)
+            max_out=max_out))
+
+    out: list[bytes] = []
+    for group, h in zip(groups, handles):
+        if h is None:
+            out.extend(b"" for _ in group)
+            continue
+        outs, lens, errs = h
+        errs = np.asarray(errs)
+        lens = np.asarray(lens)
+        blk = np.asarray(outs)  # one d2h per group
         for k in range(len(group)):
             _raise_err(int(errs[k]))
-            out.append(outs[k, : int(lens[k])].tobytes())
-        i = j
+            out.append(blk[k, : int(lens[k])].tobytes())
     return out

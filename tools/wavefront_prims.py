@@ -96,7 +96,8 @@ def main() -> None:
     outs, lens, errs = wf._decode_group(
         [payload], window=10, literal=8, extended=True, more=False,
         dict_init=np.asarray(d), dict_reset=np.asarray(d), max_out=max_out)
-    assert bytes(outs[0][: int(lens[0])]) == raw[: int(lens[0])]
+    import numpy as _np
+    assert bytes(_np.asarray(outs[0])[: int(lens[0])]) == raw[: int(lens[0])]
     print("kernel OK; now measuring pd round count via python loop", flush=True)
 
     # Reconstruct src with numpy oracle-free approach is heavy; instead time
@@ -110,6 +111,7 @@ def main() -> None:
             [p2], window=10, literal=8, extended=True, more=False,
             dict_init=np.asarray(d), dict_reset=np.asarray(d),
             max_out=wf._pow2_bucket(len(raw2), 1024))
+        _np.asarray(outs)  # force the pull: handles are async now
         dt = time.perf_counter() - t0
         print(f"end-to-end {mb} MB: {dt*1e3:.0f} ms (incl h2d/d2h+compile-cache)",
               flush=True)
