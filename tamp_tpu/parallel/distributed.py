@@ -75,8 +75,6 @@ def compress_distributed(
             shard_size=shard_size, workers=workers, engine="native",
         )
 
-    import struct
-
     import numpy as np
     from jax.experimental import multihost_utils
 
@@ -89,20 +87,29 @@ def compress_distributed(
         for i, s in enumerate(shards)
         if i % np_ == pid
     }
-    # Fixed-size exchange: per-shard blobs padded to the max length.
-    max_len = max(len(b) for b in mine.values()) if mine else 0
-    max_len = int(multihost_utils.process_allgather(np.array([max_len])).max())
-    payload = np.zeros((len(shards), max_len + 8), dtype=np.uint8)
+    # Ragged gather in two rounds.  Round 1 is a tiny size exchange
+    # (O(P*S) int64s): each process publishes the lengths of the shards it
+    # owns, zeros elsewhere, so every host learns the exact layout.
+    sizes = np.zeros(len(shards), np.int64)
     for i, b in mine.items():
-        payload[i, :8] = np.frombuffer(struct.pack("<Q", len(b)), np.uint8)
-        payload[i, 8 : 8 + len(b)] = np.frombuffer(b, np.uint8)
-    gathered = multihost_utils.process_allgather(payload)  # (P, n_shards, L)
+        sizes[i] = len(b)
+    all_sizes = multihost_utils.process_allgather(sizes)  # (P, S)
+    sizes = all_sizes.max(axis=0)  # each shard has exactly one owner
+    # Round 2 moves the bytes: each process concatenates its own blobs in
+    # shard order into one flat buffer, padded only to the max per-process
+    # total — traffic is O(total compressed bytes * imbalance), not
+    # O(P * S * max_shard_len) as a per-shard padded gather would be.
+    flat = b"".join(mine[i] for i in sorted(mine))
+    max_tot = int(all_sizes.sum(axis=1).max())
+    buf = np.zeros(max(max_tot, 1), np.uint8)
+    buf[: len(flat)] = np.frombuffer(flat, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # (P, max_tot)
     if pid != 0:
         return None
+    offsets = [0] * np_
     blobs = []
     for i in range(len(shards)):
-        owner = i % np_
-        row = gathered[owner, i]
-        (ln,) = struct.unpack("<Q", row[:8].tobytes())
-        blobs.append(row[8 : 8 + ln].tobytes())
+        owner, ln = i % np_, int(sizes[i])
+        blobs.append(gathered[owner, offsets[owner] : offsets[owner] + ln].tobytes())
+        offsets[owner] += ln
     return _pack_frame(blobs, len(data), shard_size)
