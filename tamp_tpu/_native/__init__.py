@@ -23,6 +23,11 @@ _lock = threading.Lock()
 _lib = None
 _load_error: str | None = None
 
+# Progress/abort callback signature shared by the streaming handles:
+# int cb(void* user, int64_t bytes_in, int64_t bytes_out).
+CALLBACK_CFUNC = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64)
+
 
 def _build() -> None:
     extra = []
@@ -100,6 +105,10 @@ def _load():
         lib.tampn_dec_feed.restype = cint
         lib.tampn_dec_read.argtypes = [vp, u8p, i64, i64p]
         lib.tampn_dec_read.restype = cint
+        lib.tampn_comp_set_callback.argtypes = [vp, CALLBACK_CFUNC, vp]
+        lib.tampn_comp_set_callback.restype = None
+        lib.tampn_dec_set_callback.argtypes = [vp, CALLBACK_CFUNC, vp]
+        lib.tampn_dec_set_callback.restype = None
         lib.tampn_opt_v1_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
         lib.tampn_opt_v1_plan.restype = cint
         lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, cint,

@@ -15,9 +15,36 @@ import io
 import numpy as np
 
 from ..constants import compute_min_pattern_size
-from ..exceptions import ExcessBitsError, OutOfBoundsError
+from ..exceptions import AbortedError, ExcessBitsError, OutOfBoundsError
 
 __all__ = ["NativeCompressor", "NativeDecompressor"]
+
+_ABORT_RC = -100  # trampoline abort code: outside the engine's own statuses
+
+
+def _make_trampoline(owner, callback):
+    """Wrap a Python cb(bytes_in, bytes_out) as a C callback.
+
+    A truthy return (or an exception, stashed on ``owner`` for re-raise)
+    aborts the in-flight native call with ``_ABORT_RC``.
+    """
+    from . import CALLBACK_CFUNC
+
+    def tramp(_user, bytes_in, bytes_out):
+        try:
+            return _ABORT_RC if callback(bytes_in, bytes_out) else 0
+        except BaseException as e:  # propagate through the C frame
+            owner._cb_exc = e
+            return _ABORT_RC
+
+    return CALLBACK_CFUNC(tramp)
+
+
+def _raise_abort(owner):
+    exc, owner._cb_exc = getattr(owner, "_cb_exc", None), None
+    if exc is not None:
+        raise exc
+    raise AbortedError("progress callback requested abort")
 
 
 def _lib():
@@ -74,6 +101,29 @@ class NativeCompressor:
         )
         self._lib = lib
         self._out = np.empty(1 << 16, dtype=np.uint8)
+        self._cb_ref = None
+        self._cb_exc = None
+
+    def set_progress_callback(self, callback) -> None:
+        """Register ``cb(bytes_in, bytes_out)`` fired every ~256 tokens.
+
+        ``bytes_in``/``bytes_out`` are cumulative input consumed / output
+        emitted.  A truthy return aborts the in-flight ``write()``/
+        ``flush()`` with :class:`~tamp_tpu.exceptions.AbortedError`; the
+        stream stays token-consistent, so the call may be reissued to
+        resume.  Pass ``None`` to clear.  (Native observability parity
+        with the Python codec's per-token callbacks and the reference's
+        tamp_callback_t, tamp/_c_src/tamp/common.h:184-210.)
+        """
+        from . import CALLBACK_CFUNC
+
+        if callback is None:
+            self._cb_ref = None
+            self._lib.tampn_comp_set_callback(
+                self._h, ctypes.cast(None, CALLBACK_CFUNC), None)
+            return
+        self._cb_ref = _make_trampoline(self, callback)
+        self._lib.tampn_comp_set_callback(self._h, self._cb_ref, None)
 
     def _call(self, fn, *head, drain_head=None) -> int:
         """Invoke a native stream entry point, draining the output buffer.
@@ -98,6 +148,8 @@ class NativeCompressor:
                 continue  # output buffer filled; drain again
             if rc == -2:
                 raise ExcessBitsError
+            if rc == _ABORT_RC:
+                _raise_abort(self)
             raise RuntimeError(f"native stream error rc={rc}")
 
     def write(self, data) -> int:
@@ -167,6 +219,8 @@ class NativeDecompressor:
         )
         self._lib = lib
         self._eof = False
+        self._cb_ref = None
+        self._cb_exc = None
         # Eager header read (1 byte + the reserved byte when more_header is
         # set), mirroring the reference Cython binding's construct-time
         # validation (reference tamp/_c_decompressor.pyx:50-61): a missing
@@ -188,6 +242,24 @@ class NativeDecompressor:
         else:
             self._eof = True
 
+    def set_progress_callback(self, callback) -> None:
+        """Register ``cb(bytes_in, bytes_out)`` fired every ~1024 tokens.
+
+        Same contract as :meth:`NativeCompressor.set_progress_callback`:
+        cumulative counters, truthy return aborts the in-flight ``read()``
+        with :class:`~tamp_tpu.exceptions.AbortedError`, state stays
+        token-consistent so reading may resume.  Pass ``None`` to clear.
+        """
+        from . import CALLBACK_CFUNC
+
+        if callback is None:
+            self._cb_ref = None
+            self._lib.tampn_dec_set_callback(
+                self._h, ctypes.cast(None, CALLBACK_CFUNC), None)
+            return
+        self._cb_ref = _make_trampoline(self, callback)
+        self._lib.tampn_dec_set_callback(self._h, self._cb_ref, None)
+
     def readinto(self, buf) -> int:
         view = memoryview(buf)
         out = np.empty(len(view), dtype=np.uint8)
@@ -199,6 +271,11 @@ class NativeDecompressor:
             )
             if rc == -4:
                 raise OutOfBoundsError("window reference outside the window")
+            if rc == _ABORT_RC:
+                # bytes decoded before the abort stay delivered in ``buf``
+                if n.value:
+                    view[filled : filled + n.value] = out[: n.value].tobytes()
+                _raise_abort(self)
             if rc != 0:
                 raise ValueError(f"invalid tamp stream (native rc={rc})")
             if n.value:

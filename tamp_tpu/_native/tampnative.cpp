@@ -905,6 +905,15 @@ struct Committer {
 // resume) — the native analogue of the reference's stream API
 // (tamp/_c_src/tamp/compressor.h tamp_compressor_* / decompressor.h).
 
+// Progress callback (observability parity with the reference's
+// tamp_callback_t, tamp/_c_src/tamp/common.h:184-210): fires periodically
+// at token boundaries with cumulative (bytes_in, bytes_out).  Return 0 to
+// continue; any nonzero return aborts the in-flight call and is propagated
+// verbatim as its return code — use values with |v| >= 100 to avoid
+// colliding with the engine's own statuses (0/1/-2..-5).  The stream state
+// stays token-atomic across an abort, so the call may simply be reissued.
+typedef int (*tampn_cb_t)(void* user, int64_t bytes_in, int64_t bytes_out);
+
 struct StreamComp {
   Committer c;
   std::vector<uint8_t> buf;   // unconsumed + look-ahead input (c.data aims here)
@@ -913,6 +922,11 @@ struct StreamComp {
   bool last_was_flush = false;
   bool dictionary_reset = false;
   bool excess = false;
+  tampn_cb_t cb = nullptr;    // optional progress/abort callback
+  void* cb_user = nullptr;
+  uint32_t cb_ctr = 0;
+  int64_t in_total = 0;       // bytes ever accepted by comp_write
+  int64_t out_total = 0;      // bytes ever emitted across calls
 
   void sync_data() {
     c.data = buf.data();
@@ -932,6 +946,13 @@ struct StreamComp {
   }
   // Run steps while a full look-ahead is available (mid-stream contract:
   // the reference emits tokens only with its 16-byte input buffer full).
+  // Fire the progress callback every 256 tokens; nonzero aborts (state is
+  // already token-consistent — the caller's save path runs on every rc).
+  int poll_cb(int64_t out_now) {
+    if (cb && ((++cb_ctr & 255u) == 0))
+      return cb(cb_user, in_total - (c.N - c.t), out_total + out_now);
+    return 0;
+  }
   int run_held(BitWriter& bw) {
     c.bw = &bw;
     sync_data();
@@ -939,6 +960,7 @@ struct StreamComp {
       if (bw.n > bw.cap - 64) return 1;  // output nearly full
       c.step();
       if (c.excess_bits) { excess = true; return -2; }
+      if (int rc = poll_cb(bw.n)) return rc;
     }
     compact();
     return 0;
@@ -951,6 +973,7 @@ struct StreamComp {
         if (bw.n > bw.cap - 64) return 1;
         c.step();
         if (c.excess_bits) { excess = true; return -2; }
+        if (int rc = poll_cb(bw.n)) return rc;
       }
       if (c.extended && c.rle_count) c.emit_rle();
       if (c.extended && c.ext_count) c.emit_ext_match();
@@ -979,6 +1002,11 @@ struct StreamDecomp {
   bool configured = false, have_first = false;
   bool last_was_flush = false, bad = false;
   uint8_t first_byte = 0;
+  tampn_cb_t cb = nullptr;     // optional progress/abort callback
+  void* cb_user = nullptr;
+  uint32_t cb_ctr = 0;
+  int64_t in_base = 0;         // input consumed before the current inbuf
+  int64_t out_total = 0;       // bytes ever handed to the caller
 };
 
 }  // namespace
@@ -1361,7 +1389,10 @@ int tampn_comp_write(void* h, const uint8_t* in, int64_t in_len,
   auto* s = (StreamComp*)h;
   *written = 0;
   if (s->excess) return -2;
-  if (in_len > 0) s->buf.insert(s->buf.end(), in, in + in_len);
+  if (in_len > 0) {
+    s->buf.insert(s->buf.end(), in, in + in_len);
+    s->in_total += in_len;
+  }
   BitWriter bw(out, out_cap);
   bw.acc = s->acc; bw.bits = s->bits;
   int64_t emitted_before = bw.bits;
@@ -1369,6 +1400,7 @@ int tampn_comp_write(void* h, const uint8_t* in, int64_t in_len,
   if (bw.n * 8 + bw.bits != emitted_before) s->last_was_flush = false;
   s->acc = bw.acc; s->bits = bw.bits;
   *written = bw.n;
+  s->out_total += bw.n;
   return rc;
 }
 
@@ -1381,9 +1413,10 @@ int tampn_comp_flush(void* h, int write_token, uint8_t* out, int64_t out_cap,
   bw.acc = s->acc; bw.bits = s->bits;
   int64_t emitted_before = bw.n * 8 + bw.bits;
   int rc = s->drain(bw);
-  if (rc) {  // output full mid-drain: save and report
+  if (rc) {  // output full (or callback abort) mid-drain: save and report
     s->acc = bw.acc; s->bits = bw.bits;
     *written = bw.n;
+    s->out_total += bw.n;
     return rc;
   }
   if (bw.n * 8 + bw.bits != emitted_before) s->last_was_flush = false;
@@ -1399,6 +1432,7 @@ int tampn_comp_flush(void* h, int write_token, uint8_t* out, int64_t out_cap,
   if (token_written) s->last_was_flush = true;
   s->acc = 0; s->bits = 0;
   *written = bw.n;
+  s->out_total += bw.n;
   return 0;
 }
 
@@ -1531,6 +1565,19 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
   };
   uint8_t tmp[256];
 
+  // Progress callback: polled every 1024 tokens at a token boundary (the
+  // per-token cost when unset is one predicted branch).  A nonzero return
+  // aborts; state is saved exactly as on a normal return, so the caller
+  // may resume with another read.
+  int cb_rc = 0;
+  auto poll_cb = [&]() -> bool {
+    if (__builtin_expect(s->cb != nullptr, 0) && ((++s->cb_ctr & 1023u) == 0)) {
+      cb_rc = s->cb(s->cb_user, s->in_base + pos_in, s->out_total + o);
+      return cb_rc != 0;
+    }
+    return false;
+  };
+
   // FAST PATH (mirrors tampn_decompress): with >=8 loadable input bytes and
   // >=256 output slack no token needs refill checks, rollback snapshots,
   // bounds checks, or the spill buffer.
@@ -1542,6 +1589,7 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
     const bool extended = s->extended, more = s->more;
     bool last_was_flush = s->last_was_flush;
     while (pos_in <= in_guard && o <= out_guard) {
+      if (poll_cb()) break;
       int nb = (63 - bits) >> 3;
       if (nb) {
         uint64_t chunk;
@@ -1628,7 +1676,8 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
     s->last_was_flush = last_was_flush;
   }
 
-  while (s->spill.empty()) {
+  while (!cb_rc && s->spill.empty()) {
+    if (poll_cb()) break;
     if (!refill(1)) break;
     uint64_t s_acc = acc; int s_bits = bits; int64_t s_pos = pos_in;
 
@@ -1694,11 +1743,23 @@ int tampn_dec_read(void* h, uint8_t* out, int64_t out_cap, int64_t* written) {
 
   s->acc = acc; s->bits = bits; s->in_pos = pos_in; s->pos = pos;
   if (s->in_pos > (1 << 20)) {  // compact consumed input
+    s->in_base += s->in_pos;
     s->inbuf.erase(s->inbuf.begin(), s->inbuf.begin() + s->in_pos);
     s->in_pos = 0;
   }
   *written = o;
-  return 0;
+  s->out_total += o;
+  return cb_rc;
+}
+
+void tampn_comp_set_callback(void* h, tampn_cb_t cb, void* user) {
+  auto* s = (StreamComp*)h;
+  s->cb = cb; s->cb_user = user; s->cb_ctr = 0;
+}
+
+void tampn_dec_set_callback(void* h, tampn_cb_t cb, void* user) {
+  auto* s = (StreamDecomp*)h;
+  s->cb = cb; s->cb_user = user; s->cb_ctr = 0;
 }
 
 // ---- per-position match tables (v1 model) ----------------------------------
