@@ -23,19 +23,34 @@ never wrap; extended-match writes never wrap — reference
 tamp/_c_src/tamp/decompressor.c decode_rle / decode_extended_match,
 re-derived via engine/pdecode_np).
 
-Each shard's per-bit parse results are packed into two int32 streams
-(``nxt`` and ``kind|cnt<<3|idx<<11``) and gridded in 512-bit SMEM tiles;
-carries (bit position, output position, ring head, FLUSH state, error)
-live in SMEM scratch across grid steps.
+Each shard's per-bit parse results are fused into ONE int32 stream
+(``kind | cnt<<3 | delta<<11 | idx<<17``) and gridded in ``tile``-bit SMEM
+tiles; carries (bit position, output position, ring head, FLUSH state,
+error) live in SMEM scratch across grid steps.
 
-Inner-loop design (every scalar op costs ~5-20 ns, so per-byte op count is
-the whole game): the copy loops are specialized per token kind instead of
-one generic select/predicate loop; match copies take a direct ring->out
-path when the token's window-write range provably cannot touch its read
-range (the common case) and only stage through ``tmp`` on overlap; the
-output buffer is ONE flat double-chunk SMEM array indexed ``out_pos &
-1023`` (single unpredicated store) whose 512-byte halves are DMA'd to HBM
-as static slices.
+Inner-loop design (scalar-core economics measured on v5e: ALU ~0.5 ns,
+SMEM load/store ~15-20 ns, loop-iteration branch ~37 ns — so per-byte
+SMEM-op count AND per-iteration branch count are the whole game):
+
+- ONE packed SMEM word per token: ``kind(3) | cnt(8) | delta(6) | idx``
+  where ``delta`` is the token's bit length (0 = trailing incomplete) —
+  the walk advances ``c += delta`` with no second (``nxt``) stream load,
+  halving both the per-token SMEM loads and the per-tile input DMA.
+- Copy loops are specialized per token kind; match copies take a direct
+  3-plain-SMEM-ops-per-byte path when the window write provably cannot
+  wrap nor touch the read range (the common case; extended matches never
+  wrap by format rule), keep the per-byte wrap select only on the
+  once-per-W wrapping path, and stage through ``tmp`` on overlap.
+  (A 4x-unrolled predicated variant measured *slower* — the scalar core
+  is SMEM-port-bound here, not branch-bound, and sink-slot stores cost
+  the same port slot as real ones.)
+- The RLE output splat overshoots up to 3 bytes past ``cnt``: overshoot
+  lands at future output positions that later tokens rewrite before their
+  chunk is flushed (flushes trail the write head), so it needs no
+  predication.
+- The output buffer is ONE flat double-chunk SMEM array indexed
+  ``out_pos & 1023`` whose 512-byte halves are DMA'd to HBM as static
+  slices selected by chunk parity.
 """
 
 from __future__ import annotations
@@ -65,13 +80,13 @@ K_LIT, K_MATCH, K_RLE, K_EXT, K_FLUSH = 0, 1, 2, 3, 4
 _C, _OUT, _POS, _LWF, _ERR, _FLUSHED = 0, 1, 2, 3, 4, 5
 
 
-def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
+def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             errs_ref, ring, obuf, tmp, st, dma_sem, *, W: int, more: bool,
-            max_out: int):
+            max_out: int, tile: int):
     s = pl.program_id(0)
     i = pl.program_id(1)
-    nbp = pl.num_programs(1) * TILE
-    base = i * TILE
+    nbp = pl.num_programs(1) * tile
+    base = i * tile
     OMASK = 2 * OUT_CHUNK - 1  # flat double-chunk output buffer
 
     def flush_chunk(ch):
@@ -112,21 +127,23 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
     def cond(carry):
         c = carry[0]
-        return (c >= base) & (c < base + TILE) & (carry[5] == ERR_OK)
+        return (c >= base) & (c < base + tile) & (carry[5] == ERR_OK)
 
     def body(carry):
         c, out_pos, pos, lwf, flushed, err = carry
-        n = nxt_ref[0, 0, c - base]
         p = pk_ref[0, 0, c - base]
         kind = p & 7
         cnt = (p >> 3) & 0xFF
-        idx = p >> 11
+        delta = (p >> 11) & 63
+        # window index, or the literal byte (<= 255 <= W-1 since window >= 8)
+        idx = (p >> 17) & (W - 1)
 
-        is_inc = n >= nbp  # trailing incomplete token: drop and stop
+        is_inc = delta == 0  # trailing incomplete token: drop and stop
         is_fl = kind == K_FLUSH
         is_lit = kind == K_LIT
         is_rle = kind == K_RLE
-        is_m = (kind == K_MATCH) | (kind == K_EXT)
+        is_ext = kind == K_EXT
+        is_m = (kind == K_MATCH) | is_ext
 
         err = jnp.where(
             (~is_inc) & is_m & (idx + cnt > W), jnp.int32(ERR_OOB), err)
@@ -153,11 +170,11 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
         # never wrap
         wr = jnp.where(
             is_rle, jnp.minimum(jnp.minimum(cnt, 8), W - pos),
-            jnp.where(kind == K_EXT, jnp.minimum(cnt, W - pos), cnt))
+            jnp.where(is_ext, jnp.minimum(cnt, W - pos), cnt))
         rle_b = ring[jnp.where(pos == 0, W - 1, pos - 1)]
 
-        # kind-specialized copy paths: the generic per-byte select/predicate
-        # loop costs ~2x on the scalar core (every op is ~5-20 ns)
+        # kind-specialized copy paths: the generic per-byte select/
+        # predicate loop costs ~2x on the SMEM-port-bound scalar core
 
         @pl.when(emit & is_lit)
         def _():  # literals always have cnt == 1 (decode_wavefront:199)
@@ -166,11 +183,13 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
         @pl.when(emit & is_rle)
         def _():
-            def r_out(j, _):
-                obuf[0, (out_pos + j) & OMASK] = rle_b
+            def r_out(q, _):
+                j = q * 4
+                for u in range(4):
+                    obuf[0, (out_pos + j + u) & OMASK] = rle_b
                 return 0
 
-            lax.fori_loop(0, cnt, r_out, 0)
+            lax.fori_loop(0, (cnt + 3) // 4, r_out, 0)
 
             def r_win(j, _):  # wr <= W - pos: no wrap
                 ring[pos + j] = rle_b
@@ -184,19 +203,18 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
         # so a source byte is never one this token already wrote.  When the
         # write range cannot touch the read range [idx, idx+cnt) — the
         # common case — copy directly; otherwise stage through ``tmp``.
-        wrapped = pos + wr > W
+        wrapped = pos + wr > W  # only basic matches can wrap (wr == cnt)
         ov = jnp.where(
             wrapped,
             (idx + cnt > pos) | (idx < pos + wr - W),
             (idx < pos + wr) & (pos < idx + cnt))
 
-        @pl.when(emit & is_m & ~ov)
-        def _():
-            def m_both(j, _):  # j < wr: window write (wrap for basic match)
+        @pl.when(emit & is_m & ~ov & ~wrapped)
+        def _():  # direct copy, no wrap: 3 plain SMEM ops per byte
+            def m_both(j, _):
                 b = ring[idx + j]
                 obuf[0, (out_pos + j) & OMASK] = b
-                wp = pos + j
-                ring[jnp.where(wp >= W, wp - W, wp)] = b
+                ring[pos + j] = b
                 return 0
 
             lax.fori_loop(0, wr, m_both, 0)
@@ -206,6 +224,17 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
                 return 0
 
             lax.fori_loop(wr, cnt, m_out, 0)
+
+        @pl.when(emit & is_m & ~ov & wrapped)
+        def _():  # basic match wrapping the ring end (rare: once per W)
+            def m_both(j, _):
+                b = ring[idx + j]
+                obuf[0, (out_pos + j) & OMASK] = b
+                wp = pos + j
+                ring[jnp.where(wp >= W, wp - W, wp)] = b
+                return 0
+
+            lax.fori_loop(0, wr, m_both, 0)
 
         @pl.when(emit & is_m & ov)
         def _():
@@ -250,7 +279,7 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
         flushed = lax.while_loop(fcond, fbody, flushed)
 
-        c = jnp.where(is_inc | (err != ERR_OK), nbp, n)
+        c = jnp.where(is_inc | (err != ERR_OK), nbp, c + delta)
         return c, out_pos, pos, lwf, flushed, err
 
     c, out_pos, pos, lwf, flushed, err = lax.while_loop(
@@ -276,26 +305,36 @@ def _kernel(nxt_ref, pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NBP", "W", "more", "max_out", "interpret"))
+    static_argnames=("NBP", "W", "more", "max_out", "tile", "interpret"))
 def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
-                        W: int, more: bool, max_out: int,
+                        W: int, more: bool, max_out: int, tile: int = 8192,
                         interpret: bool = False):
     """Sequential-commit decode of S parsed shards.
 
-    ``nxt``/``packed``: (S, NBP) int32 parse streams.  Returns
+    ``nxt``/``packed``: (S, NBP) int32 parse streams (``kind | cnt<<3 |
+    idx<<11``).  The two streams are fused on the VPU into ONE packed SMEM
+    word per bit position — ``kind(3) | cnt(8) | delta(6) | idx`` — so the
+    scalar walk does a single SMEM load per token (delta = token bit
+    length; 0 flags a trailing incomplete token; every Tamp token is
+    <= 1+9+9+4+window <= 38 bits, so 6 bits always hold it).  Returns
     (out (S, max_out) int32, out_len (S,), err (S,)).
     """
     S = nxt.shape[0]
-    n_tiles = NBP // TILE
+    if W >= 4096:  # keep ring + tile + obuf comfortably inside SMEM
+        tile = min(tile, 2048)
+    tile = min(tile, NBP)
+    n_tiles = NBP // tile
     mpad = -(-max_out // OUT_CHUNK) * OUT_CHUNK + OUT_CHUNK
-    kern = functools.partial(_kernel, W=W, more=more, max_out=max_out)
+    b = jnp.arange(NBP, dtype=jnp.int32)[None, :]
+    delta = jnp.where(nxt >= NBP, 0, jnp.minimum(nxt - b, 63))
+    pk = (packed & 0x7FF) | (delta << 11) | (packed >> 11 << 17)
+    kern = functools.partial(_kernel, W=W, more=more, max_out=max_out,
+                             tile=tile)
     out, lens, errs = pl.pallas_call(
         kern,
         grid=(S, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TILE), lambda s, i: (s, 0, i),
+            pl.BlockSpec((1, 1, tile), lambda s, i: (s, 0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, W), lambda s, i: (0, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -323,8 +362,7 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
         ],
         interpret=interpret,
     )(
-        nxt.reshape(S, 1, NBP),
-        packed.reshape(S, 1, NBP),
+        pk.reshape(S, 1, NBP),
         dict_init.reshape(1, 1, W),
         dict_reset.reshape(1, 1, W),
     )

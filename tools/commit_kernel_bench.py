@@ -6,9 +6,16 @@ stalls), so this tool times ONLY the kernel dispatch, synchronizing by
 pulling a single scalar output (jax.block_until_ready is unreliable over
 the tunnel — see CLAUDE.md).
 
-Usage: python tools/commit_kernel_bench.py [MB] [reps]
+Usage: python tools/commit_kernel_bench.py [MB] [reps] [--scale]
 Prints one JSON line with ms/MB for the decode commit kernel (extended
 stream) and the v1 encode commit kernel.
+
+``--scale`` adds a cross-stream scaling probe: the same total bytes as
+1 stream vs 8 streams batched in ONE kernel call.  On hardware with one
+scalar core per chip (TPU v5e) the grid necessarily serializes streams, so
+compute-only aggregate is expected ~flat with S; batching still wins
+end-to-end by amortizing the ~30 ms tunnel RPC and overlapping h2d — the
+e2e effect is what bench.py's device probe measures.
 """
 
 import json
@@ -94,6 +101,31 @@ def main() -> None:
     best = min(_time(enc) for _ in range(reps))
     out["encode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
     out["encode_commit_mb_s"] = round(mb / best, 2)
+
+    if "--scale" in sys.argv:
+        # Same total bytes as 1 stream vs 8 batched streams in ONE call.
+        sub = n // 8
+        payloads = []
+        for s in range(8):
+            payloads.append(_native.native_compress(
+                data[s * sub : (s + 1) * sub], window=window,
+                literal=literal, extended=True)[1:])
+        from tamp_tpu.ops.decode_wavefront import _decode_group
+
+        def dec_s(ps):
+            o, lens, errs = _decode_group(
+                ps, window=window, literal=literal, extended=True,
+                more=False, dict_init=np.asarray(dict_init),
+                dict_reset=np.asarray(dict_init), max_out=sub + 16)
+            return int(np.asarray(lens)[0])
+
+        assert dec_s(payloads) == sub            # compile S=8
+        assert dec_s(payloads[:1]) == sub        # compile S=1
+        t8 = min(_time(lambda: dec_s(payloads)) for _ in range(reps))
+        t1 = min(_time(lambda: dec_s(payloads[:1])) for _ in range(reps))
+        out["scale_s1_ms"] = round(t1 * 1e3, 1)
+        out["scale_s8_ms"] = round(t8 * 1e3, 1)
+        out["scale_s8_vs_s1_aggregate"] = round(8 * t1 / t8, 2)
 
     print(json.dumps(out))
 
