@@ -192,6 +192,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "compress":
         inp = args.input_opt or args.input
+        if (args.sharded and not getattr(args, "optimal", False)
+                and inp is not None and args.output is not None):
+            # file-to-file container path: bounded memory (shard-streamed),
+            # byte-identical to the in-memory container
+            from tamp_tpu.parallel.shard import compress_file_sharded
+
+            compress_file_sharded(
+                inp, args.output, window=args.window, literal=args.literal,
+                extended=args.extended, lazy_matching=args.lazy_matching,
+                shard_size=args.shard_size, engine="native")
+            return 0
         data = _read(inp)
         if getattr(args, "optimal", False):
             if args.sharded:
@@ -236,6 +247,14 @@ def main(argv=None) -> int:
 
     if args.command == "decompress":
         inp = args.input_opt or args.input
+        if inp is not None and args.output is not None:
+            with open(str(inp), "rb") as f:
+                magic = f.read(4)
+            if magic == b"TTPU":  # file-to-file container: bounded memory
+                from tamp_tpu.parallel.shard import decompress_file_sharded
+
+                decompress_file_sharded(inp, args.output)
+                return 0
         data = _read(inp)
         if data[:4] == b"TTPU":
             from tamp_tpu.parallel.shard import decompress_sharded

@@ -27,6 +27,8 @@ __all__ = [
     "compress_sharded",
     "decompress_sharded",
     "decompress_sharded_device",
+    "compress_file_sharded",
+    "decompress_file_sharded",
     "DEFAULT_SHARD_SIZE",
 ]
 
@@ -334,6 +336,145 @@ def compress_sharded(
         blobs = [_encode_one_shard(j) for j in jobs]
 
     return _pack_frame(blobs, len(data), shard_size)
+
+
+def compress_file_sharded(
+    src,
+    dst,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    extended: bool = True,
+    lazy_matching: bool = False,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    workers: int | None = None,
+    engine: str = "native",
+) -> int:
+    """Bounded-memory TTPU compression of a file (files larger than RAM).
+
+    Reads ``src`` shard-by-shard, encodes on a thread pool with a bounded
+    in-flight window (memory ~ 2·workers·shard_size), and streams the
+    container to ``dst``: the frame header and a zeroed sizes table go out
+    first and the sizes are patched in place at the end, so ``dst`` must be
+    seekable (a path or a binary file).  The output is byte-identical to
+    ``compress_sharded`` on the whole file.  Returns bytes written.
+    """
+    import os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if engine == "device-commit":
+        raise ValueError(
+            "device-commit batches whole containers; use compress_sharded, "
+            "or engine='device' for the per-shard device search pipeline")
+    if workers is None:
+        workers = (os.cpu_count() or 4) + 2
+    close_src = close_dst = False
+    if not hasattr(src, "read"):
+        src, close_src = open(str(src), "rb"), True
+    if not hasattr(dst, "write"):
+        dst, close_dst = open(str(dst), "wb"), True
+    try:
+        pos0 = src.tell()
+        raw_size = src.seek(0, 2) - pos0
+        src.seek(pos0)
+        n_shards = max(1, -(-raw_size // shard_size))
+        head_at = dst.tell()
+        dst.write(MAGIC + struct.pack(
+            "<BBIQQ", 2, 0, n_shards, raw_size, shard_size))
+        sizes_at = dst.tell()
+        dst.write(b"\x00" * (4 * n_shards))
+
+        sizes = []
+
+        def read_jobs():
+            for _ in range(n_shards):
+                s = src.read(shard_size)
+                yield (s, window, literal, extended, lazy_matching, engine)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending: deque = deque()
+            jobs = read_jobs()
+            for job in jobs:
+                pending.append(ex.submit(_encode_one_shard, job))
+                if len(pending) >= 2 * workers:  # bound reads AND results
+                    blob = pending.popleft().result()
+                    sizes.append(len(blob))
+                    dst.write(blob)
+            while pending:
+                blob = pending.popleft().result()
+                sizes.append(len(blob))
+                dst.write(blob)
+
+        end_at = dst.tell()
+        dst.seek(sizes_at)
+        dst.write(struct.pack(f"<{n_shards}I", *sizes))
+        dst.seek(end_at)
+        return end_at - head_at
+    finally:
+        if close_src:
+            src.close()
+        if close_dst:
+            dst.close()
+
+
+def decompress_file_sharded(src, dst, workers: int | None = None) -> int:
+    """Bounded-memory TTPU decompression of a file.
+
+    Reads the frame header, then decodes shards on a thread pool with a
+    bounded in-flight window, writing decoded shards to ``dst`` in order
+    (memory ~ 2·workers·(shard_size + compressed)).  Returns bytes written.
+    """
+    import os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import _native
+
+    if workers is None:
+        workers = os.cpu_count() or 4
+    close_src = close_dst = False
+    if not hasattr(src, "read"):
+        src, close_src = open(str(src), "rb"), True
+    if not hasattr(dst, "write"):
+        dst, close_dst = open(str(dst), "wb"), True
+    try:
+        head = src.read(18)
+        if head[:4] != MAGIC:
+            raise ValueError("not a TTPU container")
+        ver, _res, n, raw_size = struct.unpack_from("<BBIQ", head, 4)
+        if ver == 2:
+            src.read(8)  # shard_size: unused (in-order writes)
+        elif ver != 1:
+            raise ValueError(f"unsupported TTPU version {ver}")
+        sizes = struct.unpack(f"<{n}I", src.read(4 * n))
+
+        if _native.available():
+            decode = _native.native_decompress
+        else:
+            from ..decompressor import decompress as decode
+
+        written = 0
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending: deque = deque()
+            for sz in sizes:
+                pending.append(ex.submit(decode, src.read(sz)))
+                if len(pending) >= 2 * workers:
+                    d = pending.popleft().result()
+                    written += len(d)
+                    dst.write(d)
+            while pending:
+                d = pending.popleft().result()
+                written += len(d)
+                dst.write(d)
+        if written != raw_size:
+            raise ValueError("container raw-size mismatch")
+        return written
+    finally:
+        if close_src:
+            src.close()
+        if close_dst:
+            dst.close()
 
 
 def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:

@@ -113,3 +113,20 @@ def test_cli_build_dictionary_auto_size(tmp_path):
                "-w", "8", "--auto-size"])
     assert rc == 0
     assert out.stat().st_size == 256
+
+
+def test_sharded_container_file_to_file(tmp_path):
+    # file-to-file --sharded routes through the bounded-memory streaming
+    # path; output must be byte-identical to the stdin/stdout container
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.ttpu"
+    back = tmp_path / "back.bin"
+    src.write_bytes(DATA)
+    r = run_cli(["compress", "--sharded", "--shard-size", "256",
+                 str(src), "-o", str(dst)])
+    assert r.returncode == 0, r.stderr
+    via_stdio = run_cli(["compress", "--sharded", "--shard-size", "256"], DATA)
+    assert dst.read_bytes() == via_stdio.stdout
+    r2 = run_cli(["decompress", str(dst), "-o", str(back)])
+    assert r2.returncode == 0, r2.stderr
+    assert back.read_bytes() == DATA

@@ -74,3 +74,53 @@ def test_container_errors(rng):
     # truncated stream inside a shard -> raw-size mismatch, not silence
     with pytest.raises(ValueError):
         shard.decompress_sharded(bytes(blob[:-3]))
+
+
+def test_file_sharded_matches_in_memory(rng, tmp_path):
+    # bounded-memory file API: byte-identical container, round-trip via
+    # both the streaming and in-memory decoders
+    data = _corpus(rng, 50_000)
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.ttpu"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    n = shard.compress_file_sharded(src, dst, shard_size=4096, workers=3)
+    blob = dst.read_bytes()
+    assert n == len(blob)
+    assert blob == shard.compress_sharded(data, shard_size=4096)
+    assert bytes(shard.decompress_sharded(blob)) == data
+    m = shard.decompress_file_sharded(dst, back, workers=3)
+    assert m == len(data) and back.read_bytes() == data
+
+
+def test_file_sharded_empty_and_single_shard(rng, tmp_path):
+    for payload in (b"", b"tiny"):
+        src = tmp_path / "in.bin"
+        dst = tmp_path / "out.ttpu"
+        back = tmp_path / "back.bin"
+        src.write_bytes(payload)
+        shard.compress_file_sharded(src, dst, shard_size=4096)
+        assert dst.read_bytes() == shard.compress_sharded(payload, shard_size=4096)
+        shard.decompress_file_sharded(dst, back)
+        assert back.read_bytes() == payload
+
+
+def test_file_sharded_rejects_device_commit(tmp_path):
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"x" * 100)
+    with pytest.raises(ValueError):
+        shard.compress_file_sharded(src, tmp_path / "o", engine="device-commit")
+
+
+def test_file_sharded_raw_size_mismatch(rng, tmp_path):
+    data = _corpus(rng, 20_000)
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.ttpu"
+    src.write_bytes(data)
+    shard.compress_file_sharded(src, dst, shard_size=4096)
+    blob = bytearray(dst.read_bytes())
+    struct.pack_into("<Q", blob, 10, len(data) + 1)  # corrupt raw_size
+    bad = tmp_path / "bad.ttpu"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        shard.decompress_file_sharded(bad, tmp_path / "back.bin")
