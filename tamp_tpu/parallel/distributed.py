@@ -55,15 +55,17 @@ def compress_distributed(
     extended: bool = True,
     shard_size: int = 1 << 20,
     workers: int | None = None,
+    engine: str = "native",
 ) -> bytes | None:
     """Compress ``data`` cooperatively across hosts.
 
     Each process encodes the shard range it owns (round-robin by process
-    id over TTPU shards) with the local engine, then process 0 assembles
-    the container from the per-process results via
-    ``jax.experimental.multihost_utils``.  Returns the container on
-    process 0, None elsewhere.  Single-process calls degrade to
-    :func:`tamp_tpu.parallel.shard.compress_sharded`.
+    id over TTPU shards) with ``engine`` — ``"native"`` for the host C++
+    codec, ``"device"`` to put the match search on each process's local
+    chip (engine/pipeline) — then process 0 assembles the container from
+    the per-process results via ``jax.experimental.multihost_utils``.
+    Returns the container on process 0, None elsewhere.  Single-process
+    calls degrade to :func:`tamp_tpu.parallel.shard.compress_sharded`.
     """
     import jax
 
@@ -72,7 +74,7 @@ def compress_distributed(
     if jax.process_count() == 1:
         return compress_sharded(
             data, window=window, literal=literal, extended=extended,
-            shard_size=shard_size, workers=workers, engine="native",
+            shard_size=shard_size, workers=workers, engine=engine,
         )
 
     import numpy as np
@@ -83,7 +85,7 @@ def compress_distributed(
     pid, np_ = jax.process_index(), jax.process_count()
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
     mine = {
-        i: _encode_one_shard((s, window, literal, extended, False, "native"))
+        i: _encode_one_shard((s, window, literal, extended, False, engine))
         for i, s in enumerate(shards)
         if i % np_ == pid
     }
