@@ -286,13 +286,33 @@ def encode_ext_device_commit(
     if S == 0:
         return []
 
+    from .. import _native
+
     searcher = search_fn or match_tables
+    have_native = _native.available()
+    dict_bytes = dict_arr.tobytes()
     prep = []
     for data in datas:
         plans = plan_runs(data)
         keep, khat, dh = build_model_history(data, plans, window)
-        t16 = searcher(dh, dict_arr, window, compute_probe=False)
-        lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
+        if have_native:
+            # Both table families at chain-search speed (identical
+            # longest/lowest-slot semantics; byte parity of the final
+            # streams is pinned by tests/test_encode_ext_device.py).  The
+            # NumPy oracles below remain the semantic reference but are
+            # ~100x slower — using them made the "on-chip" extended path
+            # host-bound.
+            import types
+
+            l16, i16 = _native.native_v1_tables(
+                dh, window, literal, 16, dictionary=dict_bytes)
+            t16 = types.SimpleNamespace(len16=l16, idx16=i16)
+            lx8, ix = _native.native_v1_tables(
+                dh, window, literal, maxpat, dictionary=dict_bytes)
+            lx = lx8.astype(np.int32)
+        else:
+            t16 = searcher(dh, dict_arr, window, compute_probe=False)
+            lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
         bound, rle_c, rle_k = _region_arrays(plans, khat, dh.shape[0])
         prep.append((plans, keep, khat, dh, t16, lx, ix, bound, rle_c, rle_k))
 
