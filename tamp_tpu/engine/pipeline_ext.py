@@ -248,6 +248,7 @@ def encode_ext_device_commit(
     literal: int = 8,
     search_fn=None,
     interpret: bool | None = None,
+    device_tables: bool | None = None,
 ) -> list[bytes]:
     """Fully on-chip extended-format encode of a batch of shards.
 
@@ -257,6 +258,14 @@ def encode_ext_device_commit(
     this path (the probe feeds back into the walk state); windows above
     ops.plan_ext.MAX_PLAN_WINDOW (13) exceed the 31-bit field budget —
     both stay on the host engine.
+
+    ``device_tables`` (default: whenever the compiled kernels are usable)
+    computes BOTH match-table families on device (ops/match_ext_mxu) and
+    keeps them there for the planner, so the host link carries only the raw
+    model-history bytes in and compressed bytes out — the alternative (host
+    tables) ships 4 int32 tables per position across the link and dominates
+    the wall time.  The host-table fallback prefers the native chain engine
+    (the NumPy oracles are the semantic reference but ~100x slower).
     """
     import jax.numpy as jnp
 
@@ -275,6 +284,8 @@ def encode_ext_device_commit(
             f"device extended encode supports window <= {MAX_PLAN_WINDOW}")
     if interpret is None:
         interpret = not encode_commit_available()
+    if device_tables is None:
+        device_tables = not interpret
     W = 1 << window
     minp = compute_min_pattern_size(window, literal)
     maxpat = minp + 131
@@ -295,26 +306,23 @@ def encode_ext_device_commit(
     for data in datas:
         plans = plan_runs(data)
         keep, khat, dh = build_model_history(data, plans, window)
-        if have_native:
-            # Both table families at chain-search speed (identical
-            # longest/lowest-slot semantics; byte parity of the final
-            # streams is pinned by tests/test_encode_ext_device.py).  The
-            # NumPy oracles below remain the semantic reference but are
-            # ~100x slower — using them made the "on-chip" extended path
-            # host-bound.
+        if device_tables:
+            tabs = None  # computed in one batched device call below
+        elif have_native:
             import types
 
             l16, i16 = _native.native_v1_tables(
                 dh, window, literal, 16, dictionary=dict_bytes)
-            t16 = types.SimpleNamespace(len16=l16, idx16=i16)
             lx8, ix = _native.native_v1_tables(
                 dh, window, literal, maxpat, dictionary=dict_bytes)
-            lx = lx8.astype(np.int32)
+            tabs = (np.asarray(l16, np.int32), i16, lx8.astype(np.int32), ix)
         else:
             t16 = searcher(dh, dict_arr, window, compute_probe=False)
             lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
+            tabs = (np.asarray(t16.len16, np.int32),
+                    np.asarray(t16.idx16, np.int32), lx, ix)
         bound, rle_c, rle_k = _region_arrays(plans, khat, dh.shape[0])
-        prep.append((plans, keep, khat, dh, t16, lx, ix, bound, rle_c, rle_k))
+        prep.append((plans, keep, khat, dh, tabs, bound, rle_c, rle_k))
 
     maxM = max(p[3].shape[0] for p in prep)
     MP = 1 << (max(maxM, TILE, 1) - 1).bit_length()
@@ -326,20 +334,36 @@ def encode_ext_device_commit(
             out[i, : r.shape[0]] = r
         return out
 
-    dh_b = pad([p[3].astype(np.int32) for p in prep], 0x1FF)
-    l16_b = pad([np.asarray(p[4].len16, np.int32) for p in prep], 0)
-    i16_b = pad([np.asarray(p[4].idx16, np.int32) for p in prep], 0)
-    lx_b = pad([p[5] for p in prep], 0)
-    ix_b = pad([p[6] for p in prep], 0)
+    if device_tables:
+        from ..ops.match_ext_mxu import ext_tables_device
+
+        SEARCH_T = 256
+        dh_u8 = pad([p[3] for p in prep], 0, np.uint8)
+        npos_d = jnp.asarray(npos)
+        l16_d, i16_d, lx_d, ix_d = ext_tables_device(
+            jnp.asarray(dh_u8), npos_d,
+            jnp.asarray(dict_arr.astype(np.int32)),
+            window_bits=window, LEXT=maxpat, T=SEARCH_T,
+            n_chunks=MP // SEARCH_T)
+        # planner's dh stream: same uint8 transfer, sentinel past npos
+        col = jnp.arange(MP, dtype=jnp.int32)[None, :]
+        dh_d = jnp.where(col < npos_d[:, None],
+                         jnp.asarray(dh_u8).astype(jnp.int32), 0x1FF)
+    else:
+        dh_d = jnp.asarray(pad([p[3].astype(np.int32) for p in prep], 0x1FF))
+        l16_d = jnp.asarray(pad([p[4][0] for p in prep], 0))
+        i16_d = jnp.asarray(pad([p[4][1] for p in prep], 0))
+        lx_d = jnp.asarray(pad([p[4][2] for p in prep], 0))
+        ix_d = jnp.asarray(pad([p[4][3] for p in prep], 0))
+
     # bound as a distance (planner compares lengths against it)
-    bnd_b = pad([np.minimum(p[7] - np.arange(p[7].shape[0]), _BIG).astype(np.int32)
+    bnd_b = pad([np.minimum(p[5] - np.arange(p[5].shape[0]), _BIG).astype(np.int32)
                  for p in prep], _BIG)
-    rc_b = pad([p[8] for p in prep], 0)
-    rk_b = pad([p[9] for p in prep], 0)
+    rc_b = pad([p[6] for p in prep], 0)
+    rk_b = pad([p[7] for p in prep], 0)
 
     A, B = plan_fields_ext(
-        jnp.asarray(dh_b), jnp.asarray(l16_b), jnp.asarray(i16_b),
-        jnp.asarray(lx_b), jnp.asarray(ix_b), jnp.asarray(bnd_b),
+        dh_d, l16_d, i16_d, lx_d, ix_d, jnp.asarray(bnd_b),
         jnp.asarray(rc_b), jnp.asarray(rk_b),
         window=window, literal=literal, dlast=dlast)
 
@@ -352,23 +376,48 @@ def encode_ext_device_commit(
 
     bodies = _pull_body_bytes(out, state)
 
+    if device_tables:
+        # The tail walk reads tables only at model positions >= the kernel
+        # stop (within ~15 of npos): gather the last TAIL rows of all four
+        # tables in ONE small transfer instead of pulling (S, MP) tables.
+        TAIL = 64
+        base = np.maximum(npos - TAIL, 0)
+        tidx = jnp.asarray(base)[:, None] + jnp.arange(TAIL)[None, :]
+        tail_tabs = np.asarray(jnp.stack(
+            [jnp.take_along_axis(t, tidx, axis=1)
+             for t in (l16_d, i16_d, lx_d, ix_d)]))  # (4, S, TAIL)
+
     results: list[bytes] = []
     for i, data in enumerate(datas):
         st = state[i]
         if st[S_ERR] != 0:
             raise ExcessBitsError
-        plans, keep, khat, dh, t16, lx, ix, _, _, _ = prep[i]
+        plans, keep, khat, dh, tabs, _, _, _ = prep[i]
         t_m = int(st[S_T])
         acc, an = int(st[S_ACC]), int(st[S_AN])
         body = bodies[i].tobytes()
         M = dh.shape[0]
         if t_m < M:
+            if tabs is None:  # device tables: expand the gathered tail rows
+                b0 = int(base[i])
+                if t_m < b0:  # beyond the gather window (cannot happen: the
+                    # kernel stops within 15 of npos) — pull the full rows
+                    tabs = tuple(np.asarray(t[i, :M]) for t in
+                                 (l16_d, i16_d, lx_d, ix_d))
+                else:
+                    tabs = []
+                    for f in range(4):
+                        full = np.zeros(M, np.int32)
+                        n_t = min(TAIL, M - b0)
+                        full[b0 : b0 + n_t] = tail_tabs[f, i, :n_t]
+                        tabs.append(full)
+            l16_h, i16_h, lx_h, ix_h = tabs
             kept_pos = np.flatnonzero(keep)
             t_in = int(kept_pos[t_m])
             last = int(dh[t_m - 1]) if t_m else dlast
             fields = _ext_tail_fields(
                 data, t_in, t_m, last, plans, khat,
-                np.asarray(t16.len16), np.asarray(t16.idx16), lx, ix,
+                l16_h, i16_h, lx_h, ix_h,
                 window=window, literal=literal)
         elif data.shape[0] == 0:
             fields = []

@@ -133,3 +133,30 @@ def test_excess_bits_raises():
     with pytest.raises(ExcessBitsError):
         encode_ext_device_commit([b"\xff" * 64], window=10, literal=7,
                                  interpret=True)
+
+
+def test_device_tables_byte_parity(rng):
+    # device-resident tables (ops/match_ext_mxu) must produce byte-identical
+    # streams to the host-table path across shard shapes incl. forced-RLE
+    # runs and incompressible data
+    import numpy as np
+
+    from tamp_tpu import _native
+    from tamp_tpu.engine.pipeline_ext import encode_ext_device_commit
+
+    words = [bytes(rng.randrange(97, 123) for _ in range(2 + rng.randrange(7)))
+             for _ in range(32)]
+    shards = [
+        b" ".join(words[rng.randrange(32)] for _ in range(300)),
+        b"A" * 3000,
+        bytes(rng.getrandbits(8) for _ in range(1500)),
+        b"",
+    ]
+    ref = encode_ext_device_commit(shards, window=10, literal=8,
+                                   interpret=True, device_tables=False)
+    got = encode_ext_device_commit(shards, window=10, literal=8,
+                                   interpret=True, device_tables=True)
+    assert got == ref
+    if _native.available():
+        for b, s in zip(got, shards):
+            assert bytes(_native.native_decompress(b)) == s

@@ -64,3 +64,29 @@ def test_pallas_matches_oracle(w, rng):
     a = match_tables(arr, d, w, compute_probe=True)
     b = match_tables_pallas(arr, d, w, compute_probe=True)
     _assert_equal(a, b, w)
+
+
+@pytest.mark.parametrize("w,lit", [(8, 8), (10, 8), (11, 5), (13, 8)])
+def test_ext_device_tables_match_oracle(w, lit, rng):
+    # Both table families from the widened-cap device kernel must be
+    # element-exact against their oracles (cap-16: match_tables; cap-133:
+    # match_tables_ext) — the extended on-chip encode consumes these
+    # without any host round-trip.
+    from tamp_tpu.constants import compute_min_pattern_size
+    from tamp_tpu.engine.search_np import match_tables_ext
+    from tamp_tpu.ops.match_ext_mxu import ext_tables_host
+
+    minp = compute_min_pattern_size(w, lit)
+    maxpat = minp + 131
+    d = dictionary_array(1 << w, literal=lit)
+    n = 900
+    text = (b"ababcabcd abcd abcd xyz " * 60)[: n // 2]
+    data = text + bytes(rng.getrandbits(8) for _ in range(n - len(text)))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    t16 = match_tables(arr, d, w, compute_probe=False)
+    lxo, ixo = match_tables_ext(arr, d, w, maxpat)
+    l16, i16, lx, ix = ext_tables_host(arr, d, w, maxpat)
+    np.testing.assert_array_equal(l16, t16.len16.astype(np.int32))
+    np.testing.assert_array_equal(i16, t16.idx16)
+    np.testing.assert_array_equal(lx, lxo)
+    np.testing.assert_array_equal(ix, ixo)
