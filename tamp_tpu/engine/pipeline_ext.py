@@ -73,44 +73,6 @@ def _region_arrays(plans, khat, M: int):
     return bound, rle_c, rle_k
 
 
-def _expand_regions_device(starts, chunks, *, MP: int):
-    """Dense planner region arrays from sparse rows, built on device.
-
-    ``starts``: (S, K1) int32 region model-starts, padded with MP;
-    ``chunks``: (S, K2, 3) int32 rows (model_pos, run_count, kept_len),
-    padded with model_pos = MP.  Returns (bound_dist, rle_c, rle_k) int32
-    (S, MP): bound_dist = distance to the next region start strictly after
-    p, clipped at 255 (infinity for the planner).
-    """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    @functools.partial(jax.jit, static_argnames=("MP_",))
-    def run(starts, chunks, MP_):
-        def per_shard(st, ch):
-            marker = jnp.full(MP_, _BIG, jnp.int32)
-            st_i = jnp.minimum(st, MP_ - 1)
-            marker = marker.at[st_i].min(jnp.where(st < MP_, st, _BIG))
-            nge = lax.associative_scan(jnp.minimum, marker, reverse=True)
-            ngt = jnp.roll(nge, -1).at[-1].set(_BIG)
-            p = jnp.arange(MP_, dtype=jnp.int32)
-            bound = jnp.minimum(ngt - p, 255)
-            mp_i = jnp.minimum(ch[:, 0], MP_ - 1)
-            valid = ch[:, 0] < MP_
-            rc = jnp.zeros(MP_, jnp.int32).at[mp_i].max(
-                jnp.where(valid, ch[:, 1], 0))
-            rk = jnp.zeros(MP_, jnp.int32).at[mp_i].max(
-                jnp.where(valid, ch[:, 2], 0))
-            return bound, rc, rk
-
-        return jax.vmap(per_shard)(starts, chunks)
-
-    return run(starts, chunks, MP)
-
-
 def _rle_field_py(count: int):
     v = count - 2
     sec, trail = v >> 4, v & 15
@@ -377,43 +339,20 @@ def encode_ext_device_commit(
             out[i, : r.shape[0]] = r
         return out
 
-    if device_tables:
-        # Region structure crosses the host link SPARSE (one row per forced
-        # chunk, ~KBs) and expands to the dense planner arrays on device:
-        # bound via scatter + reverse cummin (next region start strictly
-        # after p, as a distance clipped at 255 — infinity for the planner,
-        # which only compares lengths <= maxpat against it), rle_c/rle_k
-        # via scatter.  Dense int32 rows here were 3 x 4 bytes/position of
-        # pure transfer.
-        sp_start, sp_chunk = [], []
-        for p in prep:
-            bound, rle_c, rle_k = p[5], p[6], p[7]
-            nz = np.flatnonzero(rle_c)
-            sp_chunk.append(np.stack(
-                [nz, rle_c[nz], rle_k[nz]], 1).astype(np.int32))
-            su = np.unique(bound[bound < _BIG])
-            sp_start.append(su.astype(np.int32))
-        K1 = max(1, max(s.shape[0] for s in sp_start))
-        K2 = max(1, max(c.shape[0] for c in sp_chunk))
-        starts_b = np.full((S, K1), MP, np.int32)
-        chunks_b = np.zeros((S, K2, 3), np.int32)
-        chunks_b[:, :, 0] = MP  # padded chunk rows scatter out of range
-        for i, (su, ch) in enumerate(zip(sp_start, sp_chunk)):
-            starts_b[i, : su.shape[0]] = su
-            chunks_b[i, : ch.shape[0]] = ch
-        bnd_d, rc_d, rk_d = _expand_regions_device(
-            jnp.asarray(starts_b), jnp.asarray(chunks_b), MP=MP)
-    else:
-        # bound as a distance (the planner compares lengths <= maxpat < 255
-        # against it, so clipping to uint8 255 acts as infinity); rle_c <=
-        # 241 and rle_k <= 8 are natively byte-sized
-        bnd_b = pad([np.minimum(p[5] - np.arange(p[5].shape[0]), 255)
-                     .astype(np.uint8) for p in prep], 255, np.uint8)
-        rc_b = pad([p[6].astype(np.uint8) for p in prep], 0, np.uint8)
-        rk_b = pad([p[7].astype(np.uint8) for p in prep], 0, np.uint8)
-        bnd_d = jnp.asarray(bnd_b).astype(jnp.int32)
-        rc_d = jnp.asarray(rc_b).astype(jnp.int32)
-        rk_d = jnp.asarray(rk_b).astype(jnp.int32)
+    # bound as a distance (the planner compares lengths <= maxpat < 255
+    # against it, so clipping to uint8 255 acts as infinity); rle_c <= 241
+    # and rle_k <= 8 are natively byte-sized — the region arrays cross the
+    # host link at 1 byte/position and widen on device.  (A sparse variant
+    # — scatter + reverse-cummin expansion on device, ~KBs on the wire —
+    # was tried and reverted: the scatter-in-vmap graph stalled the remote
+    # TPU compiler indefinitely where this dense graph compiles in minutes.)
+    bnd_b = pad([np.minimum(p[5] - np.arange(p[5].shape[0]), 255)
+                 .astype(np.uint8) for p in prep], 255, np.uint8)
+    rc_b = pad([p[6].astype(np.uint8) for p in prep], 0, np.uint8)
+    rk_b = pad([p[7].astype(np.uint8) for p in prep], 0, np.uint8)
+    bnd_d = jnp.asarray(bnd_b).astype(jnp.int32)
+    rc_d = jnp.asarray(rc_b).astype(jnp.int32)
+    rk_d = jnp.asarray(rk_b).astype(jnp.int32)
 
     if device_tables:
         from ..ops.match_ext_mxu import ext_tables_device
