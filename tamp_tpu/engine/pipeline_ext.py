@@ -307,15 +307,13 @@ def encode_ext_device_commit(
     searcher = search_fn or match_tables
     have_native = _native.available()
     dict_bytes = dict_arr.tobytes()
-    prep = []
-    for data in datas:
+
+    def prep_one(data):
         plans = plan_runs(data)
         keep, khat, dh = build_model_history(data, plans, window)
         if device_tables:
             tabs = None  # computed in one batched device call below
         elif have_native:
-            import types
-
             l16, i16 = _native.native_v1_tables(
                 dh, window, literal, 16, dictionary=dict_bytes)
             lx8, ix = _native.native_v1_tables(
@@ -327,7 +325,19 @@ def encode_ext_device_commit(
             tabs = (np.asarray(t16.len16, np.int32),
                     np.asarray(t16.idx16, np.int32), lx, ix)
         bound, rle_c, rle_k = _region_arrays(plans, khat, dh.shape[0])
-        prep.append((plans, keep, khat, dh, tabs, bound, rle_c, rle_k))
+        return (plans, keep, khat, dh, tabs, bound, rle_c, rle_k)
+
+    if S > 1:
+        # NumPy and the native table builder release the GIL: per-shard prep
+        # threads across cores instead of serializing ~0.13 s/MB of host work
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os as _os
+
+        with ThreadPoolExecutor(max_workers=_os.cpu_count() or 4) as ex:
+            prep = list(ex.map(prep_one, datas))
+    else:
+        prep = [prep_one(d) for d in datas]
 
     maxM = max(p[3].shape[0] for p in prep)
     MP = 1 << (max(maxM, TILE, 1) - 1).bit_length()
