@@ -41,24 +41,16 @@ __all__ = ["encode_ext_device_commit"]
 _BIG = 1 << 30
 
 
-def _region_arrays(plans, khat, M: int):
-    """Model-space region arrays for the planner.
+def _chunk_counts(plans, khat, M: int):
+    """Model-space chunk-count stream for the planner.
 
-    Returns (bound, rle_c, rle_k): distance-to-next-region-start is left to
-    the caller as absolute starts (bound holds the next region's model
-    start, _BIG past the last); rle_c/rle_k hold each forced chunk's input
-    run count and kept (model) length at the chunk's model start.
+    ``rc[mp]`` = the forced-RLE chunk's input run count (2..241) at the
+    chunk's model start, 0 elsewhere.  This is the ONLY region plane the
+    device needs: ``bound`` and ``rle_k`` are pure functions of it
+    (ops/plan_ext.derive_region_arrays), so the host link carries one byte
+    per position instead of three.
     """
-    bound = np.full(M, _BIG, np.int32)
     rle_c = np.zeros(M, np.int32)
-    rle_k = np.zeros(M, np.int32)
-    if len(plans):
-        # bound[m] = model start of the first region strictly after m
-        # (vectorized: the per-region prefix-fill loop was O(regions * M))
-        sm = khat[plans[:, 0]].astype(np.int64)
-        j = np.searchsorted(sm, np.arange(M, dtype=np.int64), side="right")
-        inb = j < len(sm)
-        bound[inb] = sm[j[inb]].astype(np.int32)
     for s, e in plans:
         t = int(s)
         while t < e:
@@ -66,11 +58,9 @@ def _region_arrays(plans, khat, M: int):
             c = remn if remn < RLE_MAX else RLE_MAX
             if remn - c == 1:
                 c -= 1
-            mp = int(khat[t])
-            rle_c[mp] = c
-            rle_k[mp] = int(khat[t + c] - khat[t])
+            rle_c[int(khat[t])] = c
             t += c
-    return bound, rle_c, rle_k
+    return rle_c
 
 
 def _rle_field_py(count: int):
@@ -280,7 +270,9 @@ def encode_ext_device_commit(
         S_ACC, S_AN, S_ERR, S_NBYTES, S_T, TILE, _commit_fields_batch,
         encode_commit_available,
     )
-    from ..ops.plan_ext import MAX_PLAN_WINDOW, plan_fields_ext
+    from ..ops.plan_ext import (
+        MAX_PLAN_WINDOW, derive_region_arrays, plan_fields_ext,
+    )
     from .encode import build_header
     from .search_np import match_tables, match_tables_ext
 
@@ -324,8 +316,8 @@ def encode_ext_device_commit(
             lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
             tabs = (np.asarray(t16.len16, np.int32),
                     np.asarray(t16.idx16, np.int32), lx, ix)
-        bound, rle_c, rle_k = _region_arrays(plans, khat, dh.shape[0])
-        return (plans, keep, khat, dh, tabs, bound, rle_c, rle_k)
+        rle_c = _chunk_counts(plans, khat, dh.shape[0])
+        return (plans, keep, khat, dh, tabs, rle_c)
 
     if S > 1:
         # NumPy and the native table builder release the GIL: per-shard prep
@@ -349,20 +341,15 @@ def encode_ext_device_commit(
             out[i, : r.shape[0]] = r
         return out
 
-    # bound as a distance (the planner compares lengths <= maxpat < 255
-    # against it, so clipping to uint8 255 acts as infinity); rle_c <= 241
-    # and rle_k <= 8 are natively byte-sized — the region arrays cross the
-    # host link at 1 byte/position and widen on device.  (A sparse variant
-    # — scatter + reverse-cummin expansion on device, ~KBs on the wire —
-    # was tried and reverted: the scatter-in-vmap graph stalled the remote
-    # TPU compiler indefinitely where this dense graph compiles in minutes.)
-    bnd_b = pad([np.minimum(p[5] - np.arange(p[5].shape[0]), 255)
-                 .astype(np.uint8) for p in prep], 255, np.uint8)
-    rc_b = pad([p[6].astype(np.uint8) for p in prep], 0, np.uint8)
-    rk_b = pad([p[7].astype(np.uint8) for p in prep], 0, np.uint8)
-    bnd_d = jnp.asarray(bnd_b).astype(jnp.int32)
+    # Only the chunk-count plane crosses the host link (rle_c <= 241 is
+    # natively byte-sized); bound and rle_k are derived from it on device
+    # (ops/plan_ext.derive_region_arrays — scan/elementwise only; a
+    # scatter-based sparse variant was tried and reverted: the
+    # scatter-in-vmap graph stalled the remote TPU compiler indefinitely
+    # where dense graphs compile in minutes).
+    rc_b = pad([p[5].astype(np.uint8) for p in prep], 0, np.uint8)
     rc_d = jnp.asarray(rc_b).astype(jnp.int32)
-    rk_d = jnp.asarray(rk_b).astype(jnp.int32)
+    bnd_d, rk_d = derive_region_arrays(rc_d, window=window)
 
     if device_tables:
         from ..ops.match_ext_mxu import ext_tables_device
@@ -415,7 +402,7 @@ def encode_ext_device_commit(
         st = state[i]
         if st[S_ERR] != 0:
             raise ExcessBitsError
-        plans, keep, khat, dh, tabs, _, _, _ = prep[i]
+        plans, keep, khat, dh, tabs, _ = prep[i]
         t_m = int(st[S_T])
         acc, an = int(st[S_ACC]), int(st[S_AN])
         body = bodies[i].tobytes()

@@ -31,6 +31,9 @@ the host engine (engine/encode_extended.py).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -42,9 +45,41 @@ from ..constants import (
     compute_min_pattern_size,
 )
 
-__all__ = ["plan_fields_ext", "MAX_PLAN_WINDOW"]
+__all__ = ["plan_fields_ext", "derive_region_arrays", "MAX_PLAN_WINDOW"]
 
 MAX_PLAN_WINDOW = 13  # extended field must fit 31 bits (18 + window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def derive_region_arrays(rc, *, window: int):
+    """(bound, rle_k) derived on device from the chunk-count stream alone.
+
+    ``rc``: (S, MP) int32, the forced-RLE chunk's input run count at each
+    chunk's MODEL start, 0 elsewhere — the only region data that has to
+    cross the host link (1 byte/position; ``bound`` and ``rle_k`` used to
+    ship as two more dense uint8 planes).
+
+    - ``bound[m]`` = distance to the next chunk start strictly after m,
+      clipped to 255 (an infinity: the planner only compares match lengths
+      <= maxpat < 255 against it).  At every position the planned walk
+      visits *outside* a forced region this equals the distance to the next
+      region start (a region's first chunk start IS the region start, and
+      mid-region chunk starts are only visited with rc >= 2 where the
+      forced branch overrides ``bound``), so the planner's decisions are
+      unchanged vs the host-computed region bound.
+    - ``rle_k[m]`` = min(8, rc, W - m%W): the exact ring-end-aware chunk
+      keep rule (engine/plan._chunk_keep_mask — keeps never wrap the ring),
+      evaluated at the chunk's model position m.
+    """
+    MP = rc.shape[1]
+    big = jnp.int32(MP + 256)
+    p_i = lax.broadcasted_iota(jnp.int32, rc.shape, 1)
+    nxt = jnp.where(rc > 0, p_i, big)
+    ncs = lax.associative_scan(jnp.minimum, nxt, reverse=True, axis=1)
+    after = jnp.roll(ncs, -1, axis=1).at[:, -1].set(big)
+    bound = jnp.minimum(after - p_i, 255)
+    rk = jnp.minimum(jnp.minimum(rc, 8), (1 << window) - (p_i & ((1 << window) - 1)))
+    return bound, rk
 
 
 def _sec_codes(trail: int):
