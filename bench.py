@@ -43,59 +43,20 @@ def main() -> None:
 
     data = build_corpus(SIZE_MB << 20)
 
-    # The device-pipeline candidate is probed (and its availability decided)
-    # entirely inside the probe subprocess: importing jax here would start
-    # the TPU tunnel's background threads in THIS process and contend with
-    # the timed run (measured: ~86 vs ~140 MB/s with jax loaded in-parent).
-    pipelines = [
-        ("native-mt", dict(engine="native", workers=(os.cpu_count() or 4) + 2)),
-        ("tpu-search", dict(engine="device", workers=os.cpu_count())),
-    ]
-
-    # Probe each pipeline on a small slice in a killable subprocess (the
-    # device pipeline can stall for minutes through a flaky TPU tunnel and
-    # must never hang or contend with the timed run), then time only the
-    # winner on the full corpus.
+    # Host pipeline: native-mt, unconditionally.  (Round 1/2 probed a
+    # "tpu-search" host pipeline too, but through this environment's tunnel
+    # it loses ~6x to native-mt, the probe subprocess burned its entire
+    # 240 s timeout inside the tunnel's per-process first-transfer stall
+    # (~280 s measured), and a probe killed mid-warmup destabilizes the
+    # tunnel for the on-chip probe that follows — the prime suspect for
+    # BENCH_r02.json's missing device section.  On-chip rates are reported
+    # in the `device` section instead; jax is never imported in-parent
+    # (measured: ~86 vs ~140 MB/s with jax loaded in-parent).
     import json as _json
     import subprocess
-    import tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf:
-        tf.write(data[: 2 << 20])
-        probe_path = tf.name
-
-    probe_src = """
-import json, sys, time
-sys.path.insert(0, {root!r})
-from tamp_tpu.parallel.shard import compress_sharded
-data = open({path!r}, 'rb').read()
-kw = json.loads(sys.argv[1])
-compress_sharded(data[: 1 << 19], shard_size=1 << 18, **kw)
-t0 = time.perf_counter()
-compress_sharded(data, shard_size=1 << 19, **kw)
-print(json.dumps(len(data) / (time.perf_counter() - t0)))
-""".format(root=os.path.dirname(os.path.abspath(__file__)), path=probe_path)
-
-    best = None
-    for name, kw in pipelines:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe_src, _json.dumps(kw)],
-                capture_output=True, timeout=240, text=True,
-            )
-            rate = float(r.stdout.strip().splitlines()[-1])
-        except Exception:
-            continue
-        if best is None or rate > best[1]:
-            best = (name, rate, kw)
-    os.unlink(probe_path)
-
-    name, _, kw = best
-    if kw.get("engine") == "device":
-        from tamp_tpu.engine.pipeline import device_pipeline_available
-
-        if not device_pipeline_available():  # probe raced an unstable tunnel
-            name, kw = pipelines[0][0], pipelines[0][1]
+    name = "native-mt"
+    kw = dict(engine="native", workers=(os.cpu_count() or 4) + 2)
     compress_sharded(data[: 4 << 20], shard_size=1 << 20, **kw)  # warm pool
     mbs = 0.0
     for _ in range(3):  # best-of-N rides out CPU-steal bursts
@@ -114,11 +75,34 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
     assert bytes(out) == data
 
     # optimal (minimum-bit) parse: the max-compression mode the reference
-    # lacks; measured on the same container framing
-    t0 = time.perf_counter()
-    blob_opt = compress_sharded(data, shard_size=1 << 20, engine="optimal")
-    opt_dt = time.perf_counter() - t0
+    # lacks; measured on the same container framing.  Best-of-N like the
+    # other legs: a single run swung 14.4 -> 8.4 MB/s across driver rounds
+    # purely from CPU-steal bursts on this shared host.
+    opt_dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        blob_opt = compress_sharded(data, shard_size=1 << 20, engine="optimal")
+        opt_dt = min(opt_dt, time.perf_counter() - t0)
     assert bytes(decompress_sharded(blob_opt)) == data
+
+    host_line = {
+        "metric": "tamp encode throughput (w=10, extended, 1-chip host)",
+        "value": round(mbs, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbs / BASELINE_MBS, 3),
+        "pipeline": name,
+        "corpus_mb": SIZE_MB,
+        "ratio": round(len(blob) / len(data), 4),
+        "decode_mb_s": round(dec_mbs, 1),
+        "decode_vs_baseline": round(dec_mbs / 184.0, 2),
+        "optimal_ratio": round(len(blob_opt) / len(data), 4),
+        "optimal_mb_s": round(len(data) / opt_dt / 1e6, 1),
+    }
+    # Flush the host numbers BEFORE the device probe: if the driver kills
+    # the bench mid-probe, this line is still a complete artifact.  The
+    # full line (with the device section) is printed again afterwards —
+    # a consumer taking the last line gets everything.
+    print(json.dumps(host_line), flush=True)
 
     # On-chip codec probe (killable subprocess: the TPU tunnel can stall):
     # end-to-end aggregate rates for the on-chip codec at its intended
@@ -126,7 +110,12 @@ print(json.dumps(len(data) / (time.perf_counter() - t0)))
     # latency and the kernel pipelining both need real batches; see
     # tools/transfer_probe.py).  Encode output is parity-checked against
     # the native engine before timing.
-    device = None
+    #
+    # Hardened per round-2 verdict: every stage (decode, v1 encode, ext
+    # encode) is individually try/except-ed and flushes a cumulative JSON
+    # line the moment it completes, and the parent reads those lines as
+    # they arrive — so a tunnel stall in ANY stage (or a hard kill of the
+    # probe) loses only the stages after it, never the whole device section.
     dev_src = """
 import json, sys, time
 sys.path.insert(0, {root!r})
@@ -134,83 +123,169 @@ import jax
 if jax.default_backend() != "tpu":
     raise SystemExit(1)
 import numpy as np
+stages = json.loads(sys.argv[1])
+result = {{}}
+def emit():
+    print(json.dumps(result), flush=True)
 # absorb the tunnel's first-transfer stall (observed 60-400 s) on a tiny
 # array so it does not pollute the timed runs below
 np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
+result["tunnel_warm"] = 1
+emit()
 from bench import build_corpus
-from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded_device
+from tamp_tpu.parallel.shard import (
+    compress_sharded, decompress_sharded, decompress_sharded_device)
 DEV_MB = 8
 data = build_corpus(DEV_MB << 20)
 blob = compress_sharded(data, engine="native", shard_size=1 << 20)
-out = decompress_sharded_device(blob)   # compile (cached across rounds)
-assert bytes(out) == data
-dec_s = 1e9
-for _ in range(2):
-    t0 = time.perf_counter()
-    assert bytes(decompress_sharded_device(blob)) == data
-    dec_s = min(dec_s, time.perf_counter() - t0)
-blob_dev = compress_sharded(data, engine="device-commit", extended=False,
-                            shard_size=1 << 20)
-assert blob_dev == compress_sharded(data, engine="native", extended=False,
-                                    lazy_matching=False, shard_size=1 << 20)
-enc_s = 1e9
-for _ in range(2):
-    t0 = time.perf_counter()
-    compress_sharded(data, engine="device-commit", extended=False,
-                     shard_size=1 << 20)
-    enc_s = min(enc_s, time.perf_counter() - t0)
-result = {{
-    "container_decode_mb_s": round(len(data) / dec_s / 1e6, 2),
-    "v1_encode_mb_s": round(len(data) / enc_s / 1e6, 2),
-    "device_batch_mb": DEV_MB,
-}}
-print(json.dumps(result), flush=True)  # partial, in case ext times out
+result["device_batch_mb"] = DEV_MB
+if "decode" in stages:
+    try:
+        out = decompress_sharded_device(blob)  # compile (cached across rounds)
+        assert bytes(out) == data
+        dec_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert bytes(decompress_sharded_device(blob)) == data
+            dec_s = min(dec_s, time.perf_counter() - t0)
+        result["container_decode_mb_s"] = round(len(data) / dec_s / 1e6, 2)
+    except Exception as e:
+        result["container_decode_error"] = repr(e)[:120]
+    emit()
+if "v1_encode" in stages:
+    try:
+        blob_dev = compress_sharded(data, engine="device-commit",
+                                    extended=False, shard_size=1 << 20)
+        assert blob_dev == compress_sharded(
+            data, engine="native", extended=False, lazy_matching=False,
+            shard_size=1 << 20)
+        enc_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            compress_sharded(data, engine="device-commit", extended=False,
+                             shard_size=1 << 20)
+            enc_s = min(enc_s, time.perf_counter() - t0)
+        result["v1_encode_mb_s"] = round(len(data) / enc_s / 1e6, 2)
+    except Exception as e:
+        result["v1_encode_error"] = repr(e)[:120]
+    emit()
 # extended (the format's DEFAULT config) on-chip encode: valid stream
 # (byte-identical to the native planned committer), round-trip checked
-blob_ext = compress_sharded(data, engine="device-commit", extended=True,
-                            shard_size=1 << 20)
-from tamp_tpu.parallel.shard import decompress_sharded
-assert bytes(decompress_sharded(blob_ext)) == data
-t0 = time.perf_counter()
-compress_sharded(data, engine="device-commit", extended=True,
-                 shard_size=1 << 20)
-result["ext_encode_mb_s"] = round(len(data) / (time.perf_counter() - t0) / 1e6, 2)
-print(json.dumps(result))
-""".format(root=os.path.dirname(os.path.abspath(__file__)))
+if "ext_encode" in stages:
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", dev_src],
-            capture_output=True, timeout=520, text=True,
-        )
-        device = _json.loads(r.stdout.strip().splitlines()[-1])
-    except subprocess.TimeoutExpired as e:
-        # keep whatever the probe managed to print before the tunnel stalled
-        try:
-            device = _json.loads(
-                (e.stdout or b"").decode().strip().splitlines()[-1])
-        except Exception:
-            pass
-    except Exception:
-        pass
+        blob_ext = compress_sharded(data, engine="device-commit",
+                                    extended=True, shard_size=1 << 20)
+        assert bytes(decompress_sharded(blob_ext)) == data
+        ext_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            compress_sharded(data, engine="device-commit", extended=True,
+                             shard_size=1 << 20)
+            ext_s = min(ext_s, time.perf_counter() - t0)
+        result["ext_encode_mb_s"] = round(len(data) / ext_s / 1e6, 2)
+        result["ext_ratio"] = round(len(blob_ext) / len(data), 4)
+    except Exception as e:
+        result["ext_encode_error"] = repr(e)[:120]
+    emit()
+""".format(root=os.path.dirname(os.path.abspath(__file__)))
 
-    print(
-        json.dumps(
-            {
-                "metric": "tamp encode throughput (w=10, extended, 1-chip host)",
-                "value": round(mbs, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbs / BASELINE_MBS, 3),
-                "pipeline": name,
-                "corpus_mb": SIZE_MB,
-                "ratio": round(len(blob) / len(data), 4),
-                "decode_mb_s": round(dec_mbs, 1),
-                "decode_vs_baseline": round(dec_mbs / 184.0, 2),
-                "optimal_ratio": round(len(blob_opt) / len(data), 4),
-                "optimal_mb_s": round(len(data) / opt_dt / 1e6, 1),
-                **({"device": device} if device else {}),
-            }
+    import queue
+    import tempfile
+    import threading
+
+    def run_device_probe(stages, wall_budget, stall_budget=300.0):
+        """Run the probe subprocess over `stages`; return (results, clean, err).
+
+        Reads the cumulative-JSON progress lines as they arrive.  Kills the
+        subprocess if it produces no new line for `stall_budget` seconds or
+        exceeds `wall_budget` total — whatever it printed by then is kept.
+        ``err`` is the tail of the probe's stderr (diagnosis evidence).
+        """
+        ef = tempfile.TemporaryFile()
+        proc = subprocess.Popen(
+            [sys.executable, "-c", dev_src, _json.dumps(stages)],
+            stdout=subprocess.PIPE, stderr=ef, text=True,
         )
-    )
+        q = queue.Queue()
+
+        def _drain(stream):
+            for line in stream:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=_drain, args=(proc.stdout,), daemon=True).start()
+        latest, clean = {}, False
+        deadline = time.time() + wall_budget
+        while True:
+            # before the first line, allow the full wall budget: the tunnel's
+            # first transfer alone stalls ~280 s per process (measured)
+            stall = stall_budget if latest else wall_budget
+            try:
+                line = q.get(timeout=min(stall,
+                                         max(1.0, deadline - time.time())))
+            except queue.Empty:
+                proc.kill()
+                break
+            if line is None:
+                clean = proc.wait() == 0
+                break
+            try:
+                latest = _json.loads(line)
+            except Exception:
+                pass
+            if time.time() > deadline:
+                proc.kill()
+                break
+        try:
+            ef.seek(0)
+            err = ef.read().decode(errors="replace")[-400:]
+        except Exception:
+            err = ""
+        ef.close()
+        return latest, clean, err
+
+    # Per-stage stall recovery: if the probe dies or stalls mid-stage, skip
+    # the stage it was on and relaunch for the remaining ones (each relaunch
+    # repays the ~280 s/process tunnel warmup, so this is the fallback path,
+    # not the norm).  A probe that dies before its first progress line gets
+    # ONE retry after a cool-down (backend init through the tunnel fails
+    # transiently).
+    stage_keys = {
+        "decode": ("container_decode_mb_s", "container_decode_error"),
+        "v1_encode": ("v1_encode_mb_s", "v1_encode_error"),
+        "ext_encode": ("ext_encode_mb_s", "ext_encode_error"),
+    }
+    device = {}
+    remaining = ["decode", "v1_encode", "ext_encode"]
+    overall_deadline = time.time() + 1020
+    cold_retry = 1
+    last_err = ""
+    while remaining and time.time() < overall_deadline - 60:
+        res, clean, err = run_device_probe(
+            remaining, wall_budget=min(620.0, overall_deadline - time.time()))
+        device.update(res)
+        last_err = err or last_err
+        remaining = [s for s in remaining
+                     if not any(k in device for k in stage_keys[s])]
+        if clean:
+            break
+        if not res.get("tunnel_warm"):
+            # backend/tunnel never came up in this process
+            if cold_retry and time.time() < overall_deadline - 400:
+                cold_retry -= 1
+                time.sleep(45)  # let the tunnel recover, then try once more
+                continue
+            break
+        if remaining:  # the first remaining stage is the one that stalled
+            device[stage_keys[remaining[0]][1]] = "stalled (killed by watchdog)"
+            remaining = remaining[1:]
+    device.pop("tunnel_warm", None)
+    if remaining and last_err:
+        device["probe_stderr_tail"] = last_err
+    device = device or None
+
+    print(json.dumps({**host_line,
+                      **({"device": device} if device else {})}))
 
 
 if __name__ == "__main__":

@@ -136,8 +136,12 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
     dictionary): ``dh`` model bytes (padding value > 255); ``len16/idx16``
     cap-16 match table; ``lenx/idxx`` cap-maxpat table; ``bound`` distance
-    to the next forced-RLE region start (large when none); ``rle_c`` > 0
-    at forced-RLE chunk starts = the chunk's input run count, with
+    to the next forced-RLE *chunk* start (large when none) — this equals
+    the region bound at every visited non-forced position, because a
+    region's first chunk start IS the region start and mid-region chunk
+    starts are only visited with rc >= 2 where the forced branch overrides
+    it (see derive_region_arrays for the equivalence argument); ``rle_c``
+    > 0 at forced-RLE chunk starts = the chunk's input run count, with
     ``rle_k`` its kept (model) length.  ``dlast``: the dictionary's last
     byte (ring byte behind model position 0).
 
