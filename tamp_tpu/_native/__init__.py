@@ -117,6 +117,11 @@ def _load():
         lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, u32p, i64p, cint,
                                            i64, cint, cint, u8p, u8p, i64p]
         lib.tampn_opt_ext_plan.restype = cint
+        lib.tampn_ext_tail_bits.argtypes = [
+            u8p, i64, i64, u8p, i64, u32p, i64p, cint, u8p, cint, cint,
+            ctypes.c_uint32, cint, u8p, i64, i64p,
+        ]
+        lib.tampn_ext_tail_bits.restype = cint
         _lib = lib
         return _lib
 
@@ -305,6 +310,49 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     if rc != 0:
         raise ValueError(f"table build failed (native rc={rc})")
     return flen[:n], fidx[:n]
+
+
+def native_ext_tail_bits(data, t_in: int, dh, khat, plans, *, window: int,
+                         literal: int, acc: int, an: int,
+                         dictionary: bytes | None = None) -> bytes:
+    """Finish a device-committed planned extended stream from input position
+    ``t_in``: run the native planned walk (the semantics owner —
+    tampnative.cpp step()/emit_* planned branches) over the remaining
+    bytes and return the tail BYTES, with the kernel's <=31-bit remainder
+    ``(acc, an)`` stitched in front and the final partial byte zero-padded.
+
+    ``dh``: the model-history stream (data[keep]); only its last window of
+    bytes is replayed to reconstruct the ring.  ``plans``: (n, 2) int64
+    (rle_start, end) pairs from engine.plan.plan_runs."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dh = np.ascontiguousarray(dh, dtype=np.uint8)
+    kh = np.ascontiguousarray(khat, dtype=np.uint32)
+    n = data.shape[0]
+    assert kh.shape[0] == n + 1
+    pl = np.ascontiguousarray(plans, dtype=np.int64).reshape(-1, 2)
+    dict_arr = (np.frombuffer(bytes(dictionary), dtype=np.uint8)
+                if dictionary is not None else None)
+    kwr = int(kh[t_in])
+    # remaining model positions < 16 and tail tokens are tiny; +16 covers
+    # the remainder byte(s) and rounding
+    cap = (n - t_in) * 2 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    written = ctypes.c_int64(0)
+    rc = lib.tampn_ext_tail_bits(
+        _u8p(data), n, t_in, _u8p(dh), kwr, _u32p(kh), _i64p_arr(pl),
+        pl.shape[0], _u8p(dict_arr), window, literal,
+        ctypes.c_uint32(acc), an, _u8p(out), cap, ctypes.byref(written),
+    )
+    if rc == -2:
+        from ..exceptions import ExcessBitsError
+
+        raise ExcessBitsError
+    if rc != 0:
+        raise ValueError(f"ext tail walk failed (native rc={rc})")
+    return out[: written.value].tobytes()
 
 
 def native_opt_ext_plan(data, flen, fidx, window: int, literal: int,

@@ -161,9 +161,9 @@ struct Committer {
   // input
   const uint8_t* data; int64_t N;
   // tables (may be null -> standalone exact mode)
-  const uint8_t* flen; const int32_t* fidx;
-  const uint8_t* plen; const int32_t* pidx;
-  int full_cap;
+  const uint8_t* flen = nullptr; const int32_t* fidx = nullptr;
+  const uint8_t* plen = nullptr; const int32_t* pidx = nullptr;
+  int full_cap = 0;
   // ring
   std::vector<uint8_t> ring; int pos = 0;
   std::vector<uint8_t> scratch;  // reusable copy buffer (avoids per-token alloc)
@@ -1806,6 +1806,69 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
     if (!khat || khat[t + 1] > khat[t]) c.ring_push(data[t]);
   }
   return 0;
+}
+
+// ---- planned-mode tail bits (device ext pipeline) ---------------------------
+// Resume the planned extended walk mid-stream and emit the remaining token
+// bits — the single source of planned-mode tail semantics (the device
+// pipeline's Pallas kernel stops at the last steady position; this entry
+// finishes the stream, replacing a Python port of the same walk).
+//
+// data/n: the full input shard; t_in: resume input position (a walk entry:
+// the kernel stops between tokens, possibly at a mid-region forced-RLE
+// chunk start); dh/kwr: the model-history byte stream (data[keep]) and the
+// resume model position (== khat[t_in]); khat/plan/n_plan: the planner's
+// model (engine/plan.py); dict: initialized window (1<<window bytes) or
+// null for the default; acc/an: the <=31-bit remainder handed back by the
+// commit kernel.  Output: the tail bytes (remainder included, final
+// partial byte zero-padded).  Returns 0 ok, -1 output full, -2 excess bits.
+int tampn_ext_tail_bits(const uint8_t* data, int64_t n, int64_t t_in,
+                        const uint8_t* dh, int64_t kwr,
+                        const uint32_t* khat, const int64_t* plan, int n_plan,
+                        const uint8_t* dict, int window, int literal,
+                        uint32_t acc, int an,
+                        uint8_t* out, int64_t out_cap, int64_t* out_len) {
+  Committer c;
+  c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
+  c.minp = min_pattern_size(window, literal);
+  c.maxpat = c.minp + 131;
+  c.extended = true; c.lazy = false;
+  c.avoid_divergence = true;  // planned mode: the model never diverges
+  c.data = data; c.N = n;
+  c.khat = khat; c.plan = plan; c.n_plan = n_plan;
+  c.full_cap = (LOOKAHEAD < c.maxpat) ? LOOKAHEAD : c.maxpat;
+  c.ring.resize(c.W);
+  if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);
+  else init_dictionary(c.ring.data(), c.W, literal);
+  c.seed_chains();
+  // Fast-forward the window state by replaying the tail of the model
+  // stream.  K is chosen so the first replayed byte lands at ring slot 0
+  // ((kwr - K) % W == 0, model purity puts byte p at slot p % W), the
+  // final write head is kwr % W, and every surviving chain entry is one
+  // the real walk would also consider (dictionary entries expire iff
+  // kwr >= W, replayed entries iff older than the last W).
+  int64_t K = kwr <= (int64_t)c.W ? kwr
+                                  : (int64_t)c.W + (kwr & (c.W - 1));
+  if (K) c.ring_push_run(dh + (kwr - K), (int)K);
+  c.t = t_in;
+  BitWriter bw(out, out_cap);
+  if (an > 0) bw.put(acc, an);
+  // A resume inside a forced-RLE region lands on a chunk start (the chunk
+  // layout is left-greedy, so re-running it from any chunk boundary yields
+  // the original chunks); step() only fires forced_rle at the region
+  // start, so emit the region remainder here first.
+  while (c.plan_i < n_plan && c.t >= plan[2 * c.plan_i + 1]) c.plan_i++;
+  if (c.plan_i < n_plan && c.t > plan[2 * c.plan_i] &&
+      c.t < plan[2 * c.plan_i + 1]) {
+    int64_t end = plan[2 * c.plan_i + 1];
+    c.plan_i++;
+    c.bw = &bw;
+    c.forced_rle(end);
+    if (bw.overflow) { *out_len = bw.n; return -1; }
+  }
+  int rc = c.run(bw);
+  *out_len = bw.n;
+  return rc;
 }
 
 // ---- optimal (minimum-bit) v1 parse ----------------------------------------

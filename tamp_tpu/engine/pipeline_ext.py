@@ -11,9 +11,10 @@ format, reference default config):
      the Pallas kernel via ``search_fn``;
   3. VPU field planning (ops/plan_ext.py) + the Pallas planned-fields
      commit kernel (ops/encode_commit_pallas, dual mode);
-  4. host: the final < 16 model bytes replayed by an exact Python port of
-     the native planned committer (_ext_tail_fields), bit-stitched onto
-     the kernel remainder.
+  4. host: the final < 16 model bytes finished by the native planned
+     committer itself (_native.native_ext_tail_bits resumes the walk
+     mid-stream and returns the tail bytes with the kernel's bit
+     remainder stitched in) — ONE owner for the planned-mode semantics.
 
 Byte parity contract: output equals the native committer at
 ``force_planned=True, avoid_divergence=True`` exactly
@@ -27,18 +28,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import (
-    EXTENDED_MATCH_SYMBOL,
-    HUFFMAN_CODES,
-    HUFFMAN_LENGTHS,
-    RLE_SYMBOL,
-    compute_min_pattern_size,
-)
+from ..constants import compute_min_pattern_size
 from .plan import RLE_MAX, build_model_history, plan_runs
 
 __all__ = ["encode_ext_device_commit"]
-
-_BIG = 1 << 30
 
 
 def _chunk_counts(plans, khat, M: int):
@@ -61,179 +54,6 @@ def _chunk_counts(plans, khat, M: int):
             rle_c[int(khat[t])] = c
             t += c
     return rle_c
-
-
-def _rle_field_py(count: int):
-    v = count - 2
-    sec, trail = v >> 4, v & 15
-    sb = HUFFMAN_LENGTHS[sec] - 1
-    value = ((HUFFMAN_CODES[RLE_SYMBOL] << sb | HUFFMAN_CODES[sec]) << 4) | trail
-    return value, HUFFMAN_LENGTHS[RLE_SYMBOL] + sb + 4
-
-
-def _ext_field_py(m: int, idx: int, minp: int, window: int):
-    v = m - minp - 12
-    sec, trail = v >> 3, v & 7
-    sb = HUFFMAN_LENGTHS[sec] - 1
-    value = ((HUFFMAN_CODES[EXTENDED_MATCH_SYMBOL] << sb | HUFFMAN_CODES[sec])
-             << 3) | trail
-    return (value << window) | idx, HUFFMAN_LENGTHS[EXTENDED_MATCH_SYMBOL] + sb + 3 + window
-
-
-def _ext_tail_fields(data, t: int, kwr: int, last: int, plans, khat,
-                     l16, i16, lx, ix, *, window: int, literal: int):
-    """Exact Python port of the native planned-mode walk from input
-    position ``t`` (model position ``kwr``); returns the remaining token
-    fields [(value, nbits), ...].
-
-    ``last``: the most recent model byte (ring byte behind the write head).
-    Tables are MODEL-space.  Raises ExcessBitsError like the committer.
-    """
-    from ..exceptions import ExcessBitsError
-
-    N = len(data)
-    W = 1 << window
-    minp = compute_min_pattern_size(window, literal)
-    lit_flag = 1 << literal
-    lit_limit = 256 if literal == 8 else lit_flag
-    fields: list[tuple[int, int]] = []
-    n_plan = len(plans)
-    plan_i = 0
-    rle_count = 0
-
-    def lit(b):
-        if b >= lit_limit:
-            raise ExcessBitsError
-        fields.append((lit_flag | int(b), literal + 1))
-
-    def drain_rle():
-        nonlocal rle_count, kwr, last
-        while rle_count:
-            count = rle_count
-            rle_count = 0
-            if count == 1:
-                lit(last)
-                kwr += 1
-                return
-            wr0 = count if count < 8 else 8
-            r = W - (kwr % W)
-            if wr0 > r:
-                if r >= 2:
-                    fields.append(_rle_field_py(r))
-                    kwr += r
-                    rle_count = count - r
-                    continue
-                lit(last)
-                kwr += 1
-                rle_count = count - 1
-                continue
-            fields.append(_rle_field_py(count))
-            kwr += wr0
-            return
-
-    while t < N:
-        while plan_i < n_plan and t >= plans[plan_i][1]:
-            plan_i += 1
-        B = int(plans[plan_i][0]) if plan_i < n_plan else _BIG
-        # t >= B: at the region start, or resuming at a mid-region chunk
-        # start (the kernel can stop on any forced chunk; the chunk layout
-        # rule is left-greedy, so restarting it from a chunk boundary
-        # yields the original chunks)
-        if not rle_count and plan_i < n_plan and t >= B:
-            e = int(plans[plan_i][1])
-            plan_i += 1
-            while t < e:  # forced chunks (model-exact keeps via khat)
-                remn = e - t
-                c = remn if remn < RLE_MAX else RLE_MAX
-                if remn - c == 1:
-                    c -= 1
-                fields.append(_rle_field_py(c))
-                kwr += int(khat[t + c] - khat[t])
-                t += c
-            continue
-        rem = min(N - t, B - t)
-        pend = rem if rem < 16 else 16
-        avail = 0
-        while (avail < pend and data[t + avail] == last
-               and rle_count + avail < RLE_MAX):
-            avail += 1
-        total = rle_count + avail
-        ended = (avail < pend) or (total >= RLE_MAX) or (t + avail >= B)
-        if not ended and total > 0:
-            rle_count = total
-            t += avail
-            continue
-        if total >= 2:
-            use_pattern = False
-            if total == avail and total <= 6:
-                k = int(khat[t])
-                if min(int(l16[k]), rem, 16) > total:
-                    use_pattern = True
-            if not use_pattern:
-                if rle_count == 0:
-                    wr0 = total if total < 8 else 8
-                    r = W - (kwr % W)
-                    if wr0 > r:  # steady ring-end split: consume-limited
-                        if r >= 2:
-                            t += r
-                            rle_count = r
-                            drain_rle()
-                            continue
-                        lit(data[t])  # r == 1
-                        kwr += 1
-                        last = int(data[t])
-                        t += 1
-                        continue
-                t += avail
-                rle_count = total
-                drain_rle()
-                continue
-            rle_count = 0
-        elif total == 1:
-            if rle_count == 1:
-                rle_count = 0
-                lit(last)
-                kwr += 1
-                continue
-            rle_count = 0
-        k = int(khat[t])
-        size = min(int(l16[k]), rem, 16)
-        idx = int(i16[k])
-        if size >= minp:
-            if size > minp + 11:
-                m = min(int(lx[k]), rem)
-                mi = int(ix[k])
-                r = W - (kwr % W)
-                if m > r:
-                    if r >= minp + 12:
-                        fields.append(_ext_field_py(r, mi, minp, window))
-                        kwr += r
-                        t += r
-                    else:
-                        L = minp + 11
-                        fields.append((
-                            (HUFFMAN_CODES[L - minp] << window) | mi,
-                            HUFFMAN_LENGTHS[L - minp] + window))
-                        kwr += L
-                        t += L
-                else:
-                    fields.append(_ext_field_py(m, mi, minp, window))
-                    kwr += m
-                    t += m
-            else:
-                fields.append((
-                    (HUFFMAN_CODES[size - minp] << window) | idx,
-                    HUFFMAN_LENGTHS[size - minp] + window))
-                kwr += size
-                t += size
-            last = int(data[t - 1])
-            continue
-        lit(data[t])
-        kwr += 1
-        last = int(data[t])
-        t += 1
-    drain_rle()
-    return fields
 
 
 def encode_ext_device_commit(
@@ -298,6 +118,10 @@ def encode_ext_device_commit(
 
     searcher = search_fn or match_tables
     have_native = _native.available()
+    if not have_native:
+        raise RuntimeError(
+            "device extended encode needs the native engine for the tail "
+            f"walk (build failed: {_native.load_error()})")
     dict_bytes = dict_arr.tobytes()
 
     def prep_one(data):
@@ -386,17 +210,6 @@ def encode_ext_device_commit(
 
     bodies = _pull_body_bytes(out, state)
 
-    if device_tables:
-        # The tail walk reads tables only at model positions >= the kernel
-        # stop (within ~15 of npos): gather the last TAIL rows of all four
-        # tables in ONE small transfer instead of pulling (S, MP) tables.
-        TAIL = 64
-        base = np.maximum(npos - TAIL, 0)
-        tidx = jnp.asarray(base)[:, None] + jnp.arange(TAIL)[None, :]
-        tail_tabs = np.asarray(jnp.stack(
-            [jnp.take_along_axis(t, tidx, axis=1)
-             for t in (l16_d, i16_d, lx_d, ix_d)]))  # (4, S, TAIL)
-
     results: list[bytes] = []
     for i, data in enumerate(datas):
         st = state[i]
@@ -407,43 +220,20 @@ def encode_ext_device_commit(
         acc, an = int(st[S_ACC]), int(st[S_AN])
         body = bodies[i].tobytes()
         M = dh.shape[0]
+        # The native planned committer resumes the walk at the kernel's
+        # stop (it re-searches the < 16 remaining positions against a
+        # replayed ring itself — no tables cross the host link) and
+        # returns the tail bytes with the kernel's bit remainder stitched
+        # in front.  Model position -> input position via the keep mask.
         if t_m < M:
-            if tabs is None:  # device tables: expand the gathered tail rows
-                b0 = int(base[i])
-                if t_m < b0:  # beyond the gather window (cannot happen: the
-                    # kernel stops within 15 of npos) — pull the full rows
-                    tabs = tuple(np.asarray(t[i, :M]) for t in
-                                 (l16_d, i16_d, lx_d, ix_d))
-                else:
-                    tabs = []
-                    for f in range(4):
-                        full = np.zeros(M, np.int32)
-                        n_t = min(TAIL, M - b0)
-                        full[b0 : b0 + n_t] = tail_tabs[f, i, :n_t]
-                        tabs.append(full)
-            l16_h, i16_h, lx_h, ix_h = tabs
             kept_pos = np.flatnonzero(keep)
             t_in = int(kept_pos[t_m])
-            last = int(dh[t_m - 1]) if t_m else dlast
-            fields = _ext_tail_fields(
-                data, t_in, t_m, last, plans, khat,
-                l16_h, i16_h, lx_h, ix_h,
-                window=window, literal=literal)
-        elif data.shape[0] == 0:
-            fields = []
         else:
-            fields = []
-        tail = bytearray()
-        for v, nb in fields:
-            acc = (acc << nb) | v
-            an += nb
-        while an >= 8:  # the fields kernel's remainder can be up to 31 bits
-            tail.append((acc >> (an - 8)) & 0xFF)
-            an -= 8
-            acc &= (1 << an) - 1
-        if an:
-            tail.append((acc << (8 - an)) & 0xFF)
+            t_in = data.shape[0]
+        tail = _native.native_ext_tail_bits(
+            data, t_in, dh, khat, plans, window=window, literal=literal,
+            acc=acc, an=an, dictionary=dict_bytes)
         (hv, hn), = build_header(window, literal, False, True, False)
         assert hn == 8
-        results.append(bytes([hv]) + body + bytes(tail))
+        results.append(bytes([hv]) + body + tail)
     return results
