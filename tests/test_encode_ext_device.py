@@ -117,14 +117,28 @@ def test_reference_decoder_accepts():
 
 
 def test_ratio_close_to_greedy_native():
-    """The planned tokenization must compress comparably to the reference
-    greedy encoder (same format, different token choices)."""
+    """Pinned planned-vs-greedy inflation per corpus class (round-3 sweep,
+    2 MB/1 MB corpora, windows 10 and 12 — BASELINE.md round-3 ledger):
+
+      text/docs    w10 +0.48%  w12 +0.96%   (ring-end ext splits + the
+                                             no-cross-run-start rule)
+      golden mix   w10 -0.02%  w12 -0.11%   (planned WINS: forced RLE)
+      run-heavy    w10 -11.5%  w12 -11.9%   (planned wins big)
+      periodic     w10 +3.44%  w12 +0.66%   (worst case: every epoch ends
+                                             in a split of a maximal match)
+      random       +-0%                     (literal-only either way)
+
+    The bounds below pin each class at measured + a small margin so a
+    planner regression trips the suite (the old single 1.02 bound hid
+    everything below 2%)."""
     rng = np.random.default_rng(3)
-    data = _gen(rng, 2, 20_000, 255)
-    dev = encode_ext_device_commit([data], window=10, literal=8,
-                                   interpret=True)[0]
-    ref = _native.native_compress(data, window=10, literal=8, extended=True)
-    assert len(dev) <= len(ref) * 1.02
+    for kind, bound in ((2, 1.008), (0, 0.95), (1, 1.04), (3, 1.0005)):
+        data = _gen(rng, kind, 40_000, 255)
+        dev = encode_ext_device_commit([data], window=10, literal=8,
+                                       interpret=True)[0]
+        ref = _native.native_compress(data, window=10, literal=8,
+                                      extended=True)
+        assert len(dev) <= len(ref) * bound, (kind, len(dev), len(ref))
 
 
 def test_excess_bits_raises():
