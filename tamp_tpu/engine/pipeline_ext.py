@@ -69,10 +69,11 @@ def encode_ext_device_commit(
 
     Output is byte-identical to the native planned committer
     (``force_planned=True, avoid_divergence=True``) — a valid extended
-    Tamp stream every decoder accepts.  Lazy matching is not supported on
-    this path (the probe feeds back into the walk state); windows above
-    ops.plan_ext.MAX_PLAN_WINDOW (13) exceed the 31-bit field budget —
-    both stay on the host engine.
+    Tamp stream every decoder accepts.  The full window lattice (8..15) is
+    supported: windows >= 14 split the >31-bit extended field into two
+    kernel pushes (ops/plan_ext module docstring).  Lazy matching is not
+    supported on this path (the probe feeds back into the walk state) and
+    stays on the host engine.
 
     ``device_tables`` (default: whenever the compiled kernels are usable)
     computes BOTH match-table families on device (ops/match_ext_mxu) and
@@ -201,9 +202,12 @@ def encode_ext_device_commit(
         dh_d, l16_d, i16_d, lx_d, ix_d, bnd_d, rc_d, rk_d,
         window=window, literal=literal, dlast=dlast)
 
+    from ..ops.plan_ext import SPLIT_WINDOW
+
     max_out = MP + MP // 8 + 64
     out, state = _commit_fields_batch(
         A, B, jnp.asarray(npos), NP=MP, dual=True, max_out=max_out,
+        idx_bits=window if window >= SPLIT_WINDOW else 0,
         interpret=interpret)
     state = np.asarray(state)
     from .pipeline import _pull_body_bytes

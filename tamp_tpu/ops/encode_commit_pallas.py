@@ -259,7 +259,7 @@ OUT_CHUNK_W = OUT_CHUNK // 4   # output flush granularity in 32-bit words
 
 def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
                    dma_sem, *, dual: bool, max_out: int, tile: int,
-                   chain: int):
+                   chain: int, idx_bits: int = 0):
     """Planned-fields commit: push precomputed bit fields, drain 32-bit
     words, jump by the precomputed advance.
 
@@ -343,11 +343,29 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
             obuf[0, slot] = w
             nwords = nwords + d
             an = an - 32 * d
+            if idx_bits:  # window >= 14: second push — the ext-match index
+                # (flag bit 15, index bits 16..30 of the B stream; the main
+                # field was the <= 18-bit header+trail)
+                fl2 = (m >> 15) & 1
+                nb2 = fl2 * idx_bits
+                v2 = (m >> 16) & 0x7FFF
+                v2 = jnp.where(fl2 == 1, v2, 0)
+                hi = (hi << nb2) | ((lo >> (31 - nb2)) >> 1) & ((1 << nb2) - 1)
+                lo = (lo << nb2) | v2
+                an = an + nb2
+                d2 = (an >= 32).astype(jnp.int32)
+                k2 = jnp.maximum(an - 32, 0)
+                w2 = ((hi << (31 - k2)) << 1) | (
+                    (lo >> k2) & (((0x7FFFFFFF >> k2) << 1) | 1))
+                slot2 = jnp.where(d2 == 1, nwords & OMASK_W, SINK)
+                obuf[0, slot2] = w2
+                nwords = nwords + d2
+                an = an - 32 * d2
             err = jnp.where(uerr != 0, jnp.int32(ERR_EXCESS), err)
             t = jnp.where(uerr != 0, npos, t + adv)
 
-        # <= chain words drained per iteration, far below a 128-word
-        # chunk: at most one boundary crossed; branch almost never taken
+        # <= chain (2*chain with idx_bits) words drained per iteration, far
+        # below a 128-word chunk: at most one boundary crossed
         cross = (nwords // OUT_CHUNK_W > flushed).astype(jnp.int32)
 
         @pl.when(cross == 1)
@@ -385,17 +403,18 @@ def _kernel_fields(a_ref, b_ref, n_ref, out_ref, state_ref, obuf, st,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NP", "dual", "max_out", "tile", "chain", "interpret"))
+    static_argnames=("NP", "dual", "max_out", "tile", "chain", "idx_bits",
+                     "interpret"))
 def _commit_fields_batch(A, B, npos, *, NP: int, dual: bool, max_out: int,
                          tile: int = TILE, chain: int = CHAIN,
-                         interpret: bool = False):
+                         idx_bits: int = 0, interpret: bool = False):
     S = A.shape[0]
     n_tiles = NP // tile
     mw = -(-max_out // 4)
     mpad_w = -(-mw // OUT_CHUNK_W) * OUT_CHUNK_W + OUT_CHUNK_W
     n_in = jnp.zeros((S, 1, 8), jnp.int32).at[:, 0, 0].set(npos)
     kern = functools.partial(_kernel_fields, dual=dual, max_out=max_out,
-                             tile=tile, chain=chain)
+                             tile=tile, chain=chain, idx_bits=idx_bits)
     if B is None:
         B = A  # dead operand keeps the call signature static
     out, state = pl.pallas_call(

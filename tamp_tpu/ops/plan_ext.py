@@ -25,8 +25,13 @@ Field widths (flag included in HUFFMAN_LENGTHS):
   RLE                   9 + (len(sec) - 1) + 4      <= 21
   extended match        7 + (len(sec) - 1) + 3 + window = 18 + window
 
-All fields fit 31 bits for window <= 13; window 14/15 extended stays on
-the host engine (engine/encode_extended.py).
+Every field except the extended match fits 31 bits at any window.  For
+window <= 13 the extended field (<= 31 bits) is emitted whole; for window
+14/15 it is SPLIT into two pushes — the <= 18-bit header+trail in the A
+stream, and the window-bit index carried in the B stream's free high bits
+(flag bit 15, index bits 16..30 — 15 bits, exactly window 15's reach).
+The commit kernel (ops/encode_commit_pallas._kernel_fields, idx_bits > 0)
+performs the second push; bit order on the wire is identical.
 """
 
 from __future__ import annotations
@@ -47,7 +52,8 @@ from ..constants import (
 
 __all__ = ["plan_fields_ext", "derive_region_arrays", "MAX_PLAN_WINDOW"]
 
-MAX_PLAN_WINDOW = 13  # extended field must fit 31 bits (18 + window)
+MAX_PLAN_WINDOW = 15  # full lattice: >31-bit ext fields split (see above)
+SPLIT_WINDOW = 14     # first window needing the two-push extended field
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -115,7 +121,11 @@ def _rle_field(count, window: int):
 
 
 def _ext_field(m, idx, minp: int, window: int):
-    """(value, nbits) of an extended-match token of size ``m`` at ``idx``."""
+    """(value, nbits) of an extended-match token of size ``m`` at ``idx``.
+
+    ``idx=None`` returns the header+trail portion only (<= 18 bits) — the
+    split form for window >= SPLIT_WINDOW, where the kernel pushes the
+    window-bit index as a second field."""
     v = m - minp - 12
     sec = v >> 3
     trail = v & 7
@@ -125,6 +135,8 @@ def _ext_field(m, idx, minp: int, window: int):
     head = int(HUFFMAN_CODES[EXTENDED_MATCH_SYMBOL])
     hb = int(HUFFMAN_LENGTHS[EXTENDED_MATCH_SYMBOL])
     value = ((((head << (sbits - 3)) | scode) << 3) | trail)
+    if idx is None:
+        return value, hb + sbits
     value = (value << window) | idx
     return value, hb + sbits + window
 
@@ -192,7 +204,9 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     ext_short = (~ext_fits) & (room >= minp + 12)
     ext_basic = (~ext_fits) & (room < minp + 12)
     m_emit = jnp.where(ext_fits, m, room)
-    ev, en = _ext_field(jnp.maximum(m_emit, minp + 12), idxx, minp, window)
+    split = window >= SPLIT_WINDOW  # two-push extended field (31-bit cap)
+    ev, en = _ext_field(jnp.maximum(m_emit, minp + 12),
+                        None if split else idxx, minp, window)
     # basic-match field (covers both the plain match and the ext fallback)
     bm_len = jnp.where(ext_entry, minp + 11, size1)
     bm_idx = jnp.where(ext_entry, idxx, idx16)
@@ -257,4 +271,8 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     err = jnp.where(pair, err | e2, err)
 
     B = nb | (adv << 6) | (err.astype(jnp.int32) << 14)
+    if split:
+        # the literal-pair fuse can never involve an ext position (use_ev
+        # implies adv >= minp+12 > 2), so use_ev survives the fuse untouched
+        B = B | jnp.where(use_ev, (1 << 15) | (idxx << 16), 0)
     return A, B

@@ -25,17 +25,28 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def native_planned(data: bytes, window: int, literal: int) -> bytes:
-    """The parity oracle: native committer in forced-planned mode."""
+def native_planned(data: bytes, window: int, literal: int,
+                   np_oracle: bool = False) -> bytes:
+    """The parity oracle: native committer in forced-planned mode.
+
+    Tables come from the native chain engine by default (element-exact vs
+    the NumPy oracle per tests/test_search_kernels.py; the O(N*W) oracle is
+    unusable at window 14/15 sizes) — ``np_oracle=True`` keeps one leg on
+    the semantic reference."""
     W = 1 << window
     arr = np.frombuffer(data, np.uint8)
     plans = plan_runs(arr)
     keep, khat, dh = build_model_history(arr, plans, window)
-    t16 = match_tables(dh, dictionary_array(W, literal=literal), window)
+    dict_b = dictionary_array(W, literal=literal)
+    if np_oracle or not _native.available():
+        t16 = match_tables(dh, dict_b, window)
+        l16, i16 = np.asarray(t16.len16), np.asarray(t16.idx16)
+    else:
+        l16, i16 = _native.native_v1_tables(
+            dh, window, literal, 16, dictionary=dict_b.tobytes())
     rows = np.minimum(
         khat[:-1].astype(np.int64), max(0, dh.shape[0] - 1)).astype(np.int64)
-    g = MatchTables(t16.len16[rows], t16.idx16[rows],
-                    t16.len16[rows], t16.idx16[rows], None, None)
+    g = MatchTables(l16[rows], i16[rows], l16[rows], i16[rows], None, None)
     return _native.native_compress(
         arr.tobytes(), window=window, literal=literal, extended=True,
         lazy_matching=False, tables=g, avoid_divergence=True,
@@ -95,6 +106,25 @@ def test_batch_shapes_and_edges():
     for s, g in zip(shards, got):
         assert g == native_planned(s, 10, 8), len(s)
         assert bytes(_native.native_decompress(g)) == s
+
+
+@pytest.mark.parametrize("window,literal", [(14, 8), (15, 8), (15, 5)])
+def test_window_14_15_split_field_parity(window, literal):
+    """Windows 14/15 exceed the 31-bit field budget: the planner emits the
+    extended header+trail and index as TWO kernel pushes (plan_ext module
+    docstring).  Byte parity vs the native planned committer across data
+    shapes, sized past the ring end so ext-split/ring-wrap paths fire."""
+    rng = np.random.default_rng(window * 131 + literal)
+    lmask = (1 << literal) - 1
+    W = 1 << window
+    for kind in (0, 1, 2):
+        n = W + W // 2 + int(rng.integers(0, 999))
+        data = _gen(rng, kind, n, lmask)
+        want = native_planned(data, window, literal)
+        got = encode_ext_device_commit(
+            [data], window=window, literal=literal, interpret=True)[0]
+        assert got == want, (window, literal, kind, n)
+        assert bytes(_native.native_decompress(got)) == data
 
 
 def test_reference_decoder_accepts():
