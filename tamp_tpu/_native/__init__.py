@@ -112,14 +112,14 @@ def _load():
         lib.tampn_opt_v1_plan.argtypes = [u8p, u8p, i32p, i64, cint, cint, u8p, i64p]
         lib.tampn_opt_v1_plan.restype = cint
         lib.tampn_v1_tables.argtypes = [u8p, i64, u8p, cint, cint, cint, cint,
-                                        u32p, u8p, i32p]
+                                        u32p, u8p, i32p, u8p, i32p]
         lib.tampn_v1_tables.restype = cint
         lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, u32p, i64p, cint,
                                            i64, cint, cint, u8p, u8p, i64p]
         lib.tampn_opt_ext_plan.restype = cint
         lib.tampn_ext_tail_bits.argtypes = [
             u8p, i64, i64, u8p, i64, u32p, i64p, cint, u8p, cint, cint,
-            ctypes.c_uint32, cint, u8p, i64, i64p,
+            cint, ctypes.c_uint32, cint, u8p, i64, i64p,
         ]
         lib.tampn_ext_tail_bits.restype = cint
         _lib = lib
@@ -281,13 +281,15 @@ def native_decompress(data: bytes, *, dictionary: bytes | None = None) -> bytear
 
 def native_v1_tables(data, window: int, literal: int, cap: int,
                      dictionary: bytes | None = None,
-                     ext_dict: bool = False, khat=None):
+                     ext_dict: bool = False, khat=None, probe: bool = False):
     """Exact per-position match tables (v1 ring model) at chain-search speed.
 
     Returns (flen uint8, fidx int32): longest match (0 when shorter than the
     minimum pattern) capped at ``cap``, lowest ring slot among ties — the
     same semantics as engine.search_np.match_tables.  ``ext_dict`` seeds the
-    default dictionary with the real literal width (extended-format quirk)."""
+    default dictionary with the real literal width (extended-format quirk).
+    ``probe=True`` additionally returns (plen, pidx): the lazy probe —
+    target ``data[t+1:]``, cap 15, ring state before byte t."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
@@ -299,6 +301,8 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     n = data.shape[0]
     flen = np.zeros(max(n, 1), dtype=np.uint8)
     fidx = np.zeros(max(n, 1), dtype=np.int32)
+    plen = np.zeros(max(n, 1), dtype=np.uint8) if probe else None
+    pidx = np.zeros(max(n, 1), dtype=np.int32) if probe else None
     kh = None
     if khat is not None:
         kh = np.ascontiguousarray(khat, dtype=np.uint32)
@@ -306,14 +310,18 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     rc = lib.tampn_v1_tables(
         _u8p(data), n, _u8p(dict_arr), window, literal, cap,
         1 if ext_dict else 0, _u32p(kh), _u8p(flen), _i32p(fidx),
+        _u8p(plen), _i32p(pidx),
     )
     if rc != 0:
         raise ValueError(f"table build failed (native rc={rc})")
+    if probe:
+        return flen[:n], fidx[:n], plen[:n], pidx[:n]
     return flen[:n], fidx[:n]
 
 
 def native_ext_tail_bits(data, t_in: int, dh, khat, plans, *, window: int,
                          literal: int, acc: int, an: int,
+                         lazy: bool = False,
                          dictionary: bytes | None = None) -> bytes:
     """Finish a device-committed planned extended stream from input position
     ``t_in``: run the native planned walk (the semantics owner —
@@ -343,7 +351,7 @@ def native_ext_tail_bits(data, t_in: int, dh, khat, plans, *, window: int,
     written = ctypes.c_int64(0)
     rc = lib.tampn_ext_tail_bits(
         _u8p(data), n, t_in, _u8p(dh), kwr, _u32p(kh), _i64p_arr(pl),
-        pl.shape[0], _u8p(dict_arr), window, literal,
+        pl.shape[0], _u8p(dict_arr), window, literal, 1 if lazy else 0,
         ctypes.c_uint32(acc), an, _u8p(out), cap, ctypes.byref(written),
     )
     if rc == -2:

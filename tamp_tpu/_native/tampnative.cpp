@@ -833,12 +833,21 @@ struct Committer {
     }
 
     int pend = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
-    if (lazy && size >= minp && size <= 8 && pend > size + 2) {
+    // Planned-mode lazy is PURE-POSITION (the device planner's exact
+    // semantics, ops/plan_ext.py): the deferral fires only in the steady
+    // state (rem >= 16, where the cap-15 probe table equals the exact
+    // probe search bit-for-bit), and no match is cached — the next
+    // position re-decides from fresh tables.  Reference cache semantics
+    // (deferred match reused, chains on the cached size) live in
+    // non-planned mode, where byte parity with the reference is the
+    // contract.
+    if (lazy && size >= minp && size <= 8 && pend > size + 2 &&
+        (!plan || rem >= LOOKAHEAD)) {
       SearchResult p = probe_search(rem);
       int tau = pos;  // true ring write head == reference window pos
       if (p.size > size && !(p.idx <= tau && tau < p.idx + p.size)) {
         if (!emit_literal(data[t])) return;
-        cached_idx = p.idx; cached_size = p.size;
+        if (!plan) { cached_idx = p.idx; cached_size = p.size; }
         t++;
         return;
       }
@@ -1767,10 +1776,14 @@ void tampn_dec_set_callback(void* h, tampn_cb_t cb, void* user) {
 // ring slot), computed at chain-search speed: one hash-chain search per
 // position against the last-W-bytes window of dict || data[:t] — the v1
 // ring model, which is tokenization-independent.  Feeds the optimal parse.
+// plen/pidx (nullable): the lazy probe table — target data[t+1:], cap 15,
+// against the ring state BEFORE byte t is written (reference probe_search
+// semantics; engine/search_np.match_tables compute_probe equivalent).
 int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
                     int window, int literal, int cap, int ext_dict,
                     const uint32_t* khat,
-                    uint8_t* flen, int32_t* fidx) {
+                    uint8_t* flen, int32_t* fidx,
+                    uint8_t* plen, int32_t* pidx) {
   Committer c;
   c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
   c.minp = min_pattern_size(window, literal);
@@ -1799,6 +1812,17 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
     SearchResult r = c.chain_search(data + t, tl, cap, 0, seed_len, seed_slot);
     flen[t] = (uint8_t)(r.size < c.minp ? 0 : r.size);
     fidx[t] = r.idx;
+    if (plen) {
+      int ptl = (int)((n - t - 1) < 15 ? (n - t - 1) : 15);
+      if (ptl >= c.minp) {
+        SearchResult p = c.chain_search(data + t + 1, ptl, 15, 0);
+        plen[t] = (uint8_t)(p.size < c.minp ? 0 : p.size);
+        pidx[t] = p.idx;
+      } else {
+        plen[t] = 0;
+        pidx[t] = 0;
+      }
+    }
     prev_len = r.size >= c.minp ? r.size : 0;
     prev_idx = r.idx;
     // khat: the model write count (planned-RLE truncation) — push only the
@@ -1825,14 +1849,14 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
 int tampn_ext_tail_bits(const uint8_t* data, int64_t n, int64_t t_in,
                         const uint8_t* dh, int64_t kwr,
                         const uint32_t* khat, const int64_t* plan, int n_plan,
-                        const uint8_t* dict, int window, int literal,
+                        const uint8_t* dict, int window, int literal, int lazy,
                         uint32_t acc, int an,
                         uint8_t* out, int64_t out_cap, int64_t* out_len) {
   Committer c;
   c.W = 1 << window; c.wmask = c.W - 1; c.wbits = window; c.literal = literal;
   c.minp = min_pattern_size(window, literal);
   c.maxpat = c.minp + 131;
-  c.extended = true; c.lazy = false;
+  c.extended = true; c.lazy = lazy != 0;
   c.avoid_divergence = true;  // planned mode: the model never diverges
   c.data = data; c.N = n;
   c.khat = khat; c.plan = plan; c.n_plan = n_plan;

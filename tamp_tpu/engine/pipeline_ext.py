@@ -61,6 +61,7 @@ def encode_ext_device_commit(
     *,
     window: int = 10,
     literal: int = 8,
+    lazy_matching: bool = False,
     search_fn=None,
     interpret: bool | None = None,
     device_tables: bool | None = None,
@@ -68,12 +69,14 @@ def encode_ext_device_commit(
     """Fully on-chip extended-format encode of a batch of shards.
 
     Output is byte-identical to the native planned committer
-    (``force_planned=True, avoid_divergence=True``) — a valid extended
-    Tamp stream every decoder accepts.  The full window lattice (8..15) is
-    supported: windows >= 14 split the >31-bit extended field into two
-    kernel pushes (ops/plan_ext module docstring).  Lazy matching is not
-    supported on this path (the probe feeds back into the walk state) and
-    stays on the host engine.
+    (``force_planned=True, avoid_divergence=True`` — plus
+    ``lazy_matching``) — a valid extended Tamp stream every decoder
+    accepts.  The full window lattice (8..15) is supported: windows >= 14
+    split the >31-bit extended field into two kernel pushes (ops/plan_ext
+    module docstring).  Lazy matching runs as a planner-side deferral
+    (ops/plan_ext.plan_fields_ext ``lazy``): in planned mode the cached
+    match always equals the fresh search at the next position, so the
+    deferral needs no walk state.
 
     ``device_tables`` (default: whenever the compiled kernels are usable)
     computes BOTH match-table families on device (ops/match_ext_mxu) and
@@ -131,16 +134,28 @@ def encode_ext_device_commit(
         if device_tables:
             tabs = None  # computed in one batched device call below
         elif have_native:
-            l16, i16 = _native.native_v1_tables(
-                dh, window, literal, 16, dictionary=dict_bytes)
+            if lazy_matching:
+                l16, i16, pl_, pi_ = _native.native_v1_tables(
+                    dh, window, literal, 16, dictionary=dict_bytes,
+                    probe=True)
+            else:
+                l16, i16 = _native.native_v1_tables(
+                    dh, window, literal, 16, dictionary=dict_bytes)
+                pl_ = pi_ = np.zeros(0, np.int32)
             lx8, ix = _native.native_v1_tables(
                 dh, window, literal, maxpat, dictionary=dict_bytes)
-            tabs = (np.asarray(l16, np.int32), i16, lx8.astype(np.int32), ix)
+            tabs = (np.asarray(l16, np.int32), i16, lx8.astype(np.int32), ix,
+                    np.asarray(pl_, np.int32), np.asarray(pi_, np.int32))
         else:
-            t16 = searcher(dh, dict_arr, window, compute_probe=False)
+            t16 = searcher(dh, dict_arr, window, compute_probe=lazy_matching)
             lx, ix = match_tables_ext(dh, dict_arr, window, maxpat)
+            if lazy_matching:
+                pl_ = np.asarray(t16.probe_len, np.int32)
+                pi_ = np.asarray(t16.probe_idx, np.int32)
+            else:
+                pl_ = pi_ = np.zeros(0, np.int32)
             tabs = (np.asarray(t16.len16, np.int32),
-                    np.asarray(t16.idx16, np.int32), lx, ix)
+                    np.asarray(t16.idx16, np.int32), lx, ix, pl_, pi_)
         rle_c = _chunk_counts(plans, khat, dh.shape[0])
         return (plans, keep, khat, dh, tabs, rle_c)
 
@@ -176,17 +191,22 @@ def encode_ext_device_commit(
     rc_d = jnp.asarray(rc_b).astype(jnp.int32)
     bnd_d, rk_d = derive_region_arrays(rc_d, window=window)
 
+    pl_d = pi_d = None
     if device_tables:
         from ..ops.match_ext_mxu import ext_tables_device
 
         SEARCH_T = 256
         dh_u8 = pad([p[3] for p in prep], 0, np.uint8)
         npos_d = jnp.asarray(npos)
-        l16_d, i16_d, lx_d, ix_d = ext_tables_device(
+        tabs_d = ext_tables_device(
             jnp.asarray(dh_u8), npos_d,
             jnp.asarray(dict_arr.astype(np.int32)),
             window_bits=window, LEXT=maxpat, T=SEARCH_T,
-            n_chunks=MP // SEARCH_T)
+            n_chunks=MP // SEARCH_T, probe=lazy_matching)
+        if lazy_matching:
+            l16_d, i16_d, lx_d, ix_d, pl_d, pi_d = tabs_d
+        else:
+            l16_d, i16_d, lx_d, ix_d = tabs_d
         # planner's dh stream: same uint8 transfer, sentinel past npos
         col = jnp.arange(MP, dtype=jnp.int32)[None, :]
         dh_d = jnp.where(col < npos_d[:, None],
@@ -197,10 +217,14 @@ def encode_ext_device_commit(
         i16_d = jnp.asarray(pad([p[4][1] for p in prep], 0))
         lx_d = jnp.asarray(pad([p[4][2] for p in prep], 0))
         ix_d = jnp.asarray(pad([p[4][3] for p in prep], 0))
+        if lazy_matching:
+            pl_d = jnp.asarray(pad([p[4][4] for p in prep], 0))
+            pi_d = jnp.asarray(pad([p[4][5] for p in prep], 0))
 
     A, B = plan_fields_ext(
         dh_d, l16_d, i16_d, lx_d, ix_d, bnd_d, rc_d, rk_d,
-        window=window, literal=literal, dlast=dlast)
+        window=window, literal=literal, dlast=dlast,
+        plen=pl_d, pidx=pi_d, lazy=lazy_matching)
 
     from ..ops.plan_ext import SPLIT_WINDOW
 
@@ -236,7 +260,7 @@ def encode_ext_device_commit(
             t_in = data.shape[0]
         tail = _native.native_ext_tail_bits(
             data, t_in, dh, khat, plans, window=window, literal=literal,
-            acc=acc, an=an, dictionary=dict_bytes)
+            acc=acc, an=an, lazy=lazy_matching, dictionary=dict_bytes)
         (hv, hn), = build_header(window, literal, False, True, False)
         assert hn == 8
         results.append(bytes([hv]) + body + tail)

@@ -70,12 +70,16 @@ def _runs(E, shift, cap: int):
     return L
 
 
-def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int):
+def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
+               probe: bool = False):
     """Both table families for positions [t0, t0+T) of one shard.
 
     ``C``: dict||dh (int32, -1 sentinel past the valid end); ``d``: dh
-    (int32, 0x1FF sentinel).  Returns (len16, idx16, lenx, idxx), (T,) each.
-    """
+    (int32, 0x1FF sentinel).  Returns (len16, idx16, lenx, idxx), (T,)
+    each — plus (plen, pidx) when ``probe``: the lazy-matching probe
+    (target d[r+1:], cap 15, against the ring state at r — same
+    formulation as ops/match_mxu.mxu_chunk's probe: shifted target rows,
+    unshifted ring geometry, side-diagonal column j+1)."""
     W = 1 << window_bits
     R = T + LEXT
     Q = T + W + LEXT
@@ -157,20 +161,42 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int):
 
     len16, idx16 = finish(s16_big, s16_mini)
     lenx, idxx = finish(sx_big, sx_mini)
-    return len16, idx16, lenx, idxx
+    if not probe:
+        return len16, idx16, lenx, idxx
+
+    # ---- lazy probe: target d[r+1:], ring state at r -----------------
+    # Main band: candidates with delta = W - band >= 15 cannot cross the
+    # head for cap-15 lengths, so the cap-16 band mask (band <= W - 16)
+    # plus the delta-15 side column covers everything (ops/match_mxu).
+    u_p = jnp.minimum(runx[1 : T + 1], capq)
+    pb15 = jnp.max(
+        jnp.where(mask16, jnp.minimum(u_p, 15.0) * W + slot_term, -1.0),
+        axis=1)
+    # Probe head-crossing delta dd: target row r+1, source seg[r + W - dd]
+    # = seg[(r+1) + W - (dd+1)] -> side column dd+1 shifted one row up.
+    k15 = 15
+    v_probe = v[1 : T + 1, 1 : k15 + 1]
+    g_probe = gv[:T, 1 : k15 + 1]
+    pm15 = mini_scores(
+        v_probe, g_probe, delta[:, :k15], tau_ge[:, :k15],
+        x_cross[:, :k15], x_old[:, :k15], cap_cross[:, :k15],
+        cap_old[:, :k15], 15.0)
+    plen, pidx = finish(pb15, pm15)
+    return len16, idx16, lenx, idxx, plen, pidx
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_bits", "LEXT", "T", "n_chunks"))
+    static_argnames=("window_bits", "LEXT", "T", "n_chunks", "probe"))
 def ext_tables_device(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
-                      T: int = 256, n_chunks: int = 1):
+                      T: int = 256, n_chunks: int = 1, probe: bool = False):
     """Both match-table families for S shards, on device.
 
     ``dh_b``: (S, MP) uint8 model-history bytes (MP = n_chunks * T);
     ``npos``: (S,) int32 valid lengths; ``dict_arr``: (W,) int32 initialized
     window.  Returns (len16, idx16, lenx, idxx), each (S, MP) int32 —
-    positions >= npos hold garbage (the planner masks by npos).
+    plus (plen, pidx) when ``probe`` (lazy matching) — positions >= npos
+    hold garbage (the planner masks by npos).
     """
     W = 1 << window_bits
     MP = dh_b.shape[1]
@@ -188,7 +214,8 @@ def ext_tables_device(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
         d = jnp.where(di < n, d, 0x1FF)
 
         def step(_, i):
-            return None, _ext_chunk(C, d, i * T, window_bits, T, LEXT)
+            return None, _ext_chunk(C, d, i * T, window_bits, T, LEXT,
+                                    probe=probe)
 
         _, outs = lax.scan(step, None, jnp.arange(n_chunks, dtype=jnp.int32))
         return tuple(o.reshape(-1) for o in outs)

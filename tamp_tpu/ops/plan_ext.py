@@ -141,8 +141,11 @@ def _ext_field(m, idx, minp: int, window: int):
     return value, hb + sbits + window
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "literal", "dlast", "lazy"))
 def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
-                    *, window: int, literal: int, dlast: int):
+                    *, window: int, literal: int, dlast: int,
+                    plen=None, pidx=None, lazy: bool = False):
     """Per-position fields for the planned extended walk.
 
     All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
@@ -197,6 +200,24 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
 
     # ---- pattern action ---------------------------------------------------
     is_match = size1 >= minp
+
+    # ---- lazy deferral ----------------------------------------------------
+    # Planned-mode lazy is PURE-POSITION (native step() planned branch,
+    # byte parity pinned in tests/test_encode_ext_device.py): a basic
+    # match of size <= 8 defers to a literal when the NEXT position
+    # matches strictly longer (probe table: target p+1, cap 15, ring
+    # state at p) and the probe's source range does not contain the write
+    # head.  The deferral fires only in the steady state (bound >= 16,
+    # where the cap-15 table equals the exact probe search bit-for-bit),
+    # and nothing is cached — the walk at p+1 re-decides from fresh
+    # tables.  (Reference CACHE semantics are impure: the cached size
+    # propagates into later decisions; they live on the host engines.)
+    if lazy:
+        overlap = (pidx <= posring) & (posring < pidx + plen)
+        go_lazy = (is_match & (size1 <= 8) & (bound >= 16)
+                   & (plen > size1) & ~overlap)
+    else:
+        go_lazy = jnp.zeros(dh.shape, bool)
     ext_entry = is_match & (size1 > minp + 11)
     m = jnp.minimum(lenx, bound)
     # avoid-divergence policy
@@ -227,14 +248,15 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     lserr = last >= lit_limit
 
     # ---- compose ----------------------------------------------------------
-    # priority: forced-RLE chunk start > dynamic RLE > pattern > literal
-    is_lit = ~do_rle & ~is_match
+    # priority: forced-RLE chunk start > dynamic RLE > lazy literal >
+    # pattern > literal
+    is_lit = ~do_rle & (~is_match | go_lazy)
     A = jnp.where(is_lit, lv, 0)
     nb = jnp.where(is_lit, nbl, 0)
     adv = jnp.where(is_lit, 1, 0)
     err = jnp.where(is_lit, lerr, False)
 
-    use_bm = is_match & (~ext_entry | ext_basic) & ~do_rle
+    use_bm = is_match & ~go_lazy & (~ext_entry | ext_basic) & ~do_rle
     use_ev = is_match & ext_entry & ~ext_basic & ~do_rle
     A = jnp.where(use_bm, bv, A)
     nb = jnp.where(use_bm, bn, nb)

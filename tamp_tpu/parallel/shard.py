@@ -298,11 +298,6 @@ def compress_sharded(
         if extended:
             from ..ops.plan_ext import MAX_PLAN_WINDOW
 
-            if lazy_matching:
-                raise ValueError(
-                    "device-commit extended does not support lazy matching "
-                    "(the probe feeds back into the walk state); use "
-                    "engine='native' or lazy_matching=False")
             if window > MAX_PLAN_WINDOW:
                 raise ValueError(
                     f"device-commit extended supports window <= "
@@ -315,7 +310,8 @@ def compress_sharded(
 
                 search = device_search_fn(window, literal, True)
             blobs = encode_ext_device_commit(
-                shards, window=window, literal=literal, search_fn=search)
+                shards, window=window, literal=literal,
+                lazy_matching=lazy_matching, search_fn=search)
             return _pack_frame(blobs, len(data), shard_size)
         from ..engine.pipeline import encode_v1_device_commit
 

@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def native_planned(data: bytes, window: int, literal: int,
-                   np_oracle: bool = False) -> bytes:
+                   np_oracle: bool = False, lazy: bool = False) -> bytes:
     """The parity oracle: native committer in forced-planned mode.
 
     Tables come from the native chain engine by default (element-exact vs
@@ -38,18 +38,25 @@ def native_planned(data: bytes, window: int, literal: int,
     plans = plan_runs(arr)
     keep, khat, dh = build_model_history(arr, plans, window)
     dict_b = dictionary_array(W, literal=literal)
+    pl = pi = None
     if np_oracle or not _native.available():
-        t16 = match_tables(dh, dict_b, window)
+        t16 = match_tables(dh, dict_b, window, compute_probe=lazy)
         l16, i16 = np.asarray(t16.len16), np.asarray(t16.idx16)
+        if lazy:
+            pl, pi = np.asarray(t16.probe_len), np.asarray(t16.probe_idx)
+    elif lazy:
+        l16, i16, pl, pi = _native.native_v1_tables(
+            dh, window, literal, 16, dictionary=dict_b.tobytes(), probe=True)
     else:
         l16, i16 = _native.native_v1_tables(
             dh, window, literal, 16, dictionary=dict_b.tobytes())
     rows = np.minimum(
         khat[:-1].astype(np.int64), max(0, dh.shape[0] - 1)).astype(np.int64)
-    g = MatchTables(l16[rows], i16[rows], l16[rows], i16[rows], None, None)
+    g = MatchTables(l16[rows], i16[rows], l16[rows], i16[rows],
+                    pl[rows] if lazy else None, pi[rows] if lazy else None)
     return _native.native_compress(
         arr.tobytes(), window=window, literal=literal, extended=True,
-        lazy_matching=False, tables=g, avoid_divergence=True,
+        lazy_matching=lazy, tables=g, avoid_divergence=True,
         khat=khat, plan=plans, force_planned=True)
 
 
@@ -106,6 +113,31 @@ def test_batch_shapes_and_edges():
     for s, g in zip(shards, got):
         assert g == native_planned(s, 10, 8), len(s)
         assert bytes(_native.native_decompress(g)) == s
+
+
+@pytest.mark.parametrize("window,literal", [(8, 8), (10, 8), (11, 6), (14, 8)])
+def test_lazy_matching_parity(window, literal):
+    """Device lazy matching (planner-side pure-position deferral) must be
+    byte-identical to the native planned committer with lazy_matching on —
+    the shared planned-lazy semantics (plan_ext.plan_fields_ext docstring:
+    steady-state-gated, cache-free; reference cache semantics stay on the
+    host engines).  Round-trips through the native decoder."""
+    rng = np.random.default_rng(window * 31 + literal)
+    lmask = (1 << literal) - 1
+    W = 1 << window
+    for kind in range(4):
+        n = W + W // 2 + int(rng.integers(0, 2048))
+        data = _gen(rng, kind, n, lmask)
+        want = native_planned(data, window, literal, lazy=True)
+        got = encode_ext_device_commit(
+            [data], window=window, literal=literal, lazy_matching=True,
+            interpret=True)[0]
+        assert got == want, (window, literal, kind, n)
+        assert bytes(_native.native_decompress(got)) == data
+        # lazy must never hurt vs the non-lazy planned stream by more than
+        # noise (it exists to improve the parse)
+        plain = native_planned(data, window, literal)
+        assert len(got) <= len(plain) * 1.001 + 2
 
 
 @pytest.mark.parametrize("window,literal", [(14, 8), (15, 8), (15, 5)])

@@ -20,9 +20,12 @@ Requires the reference package at /root/reference for the oracle.
 
 import io
 import os
+
 import random
 import sys
 import time
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(1, "/root/reference")
@@ -64,7 +67,13 @@ def main() -> int:
 
     wavefront = None
     if os.environ.get("TAMP_FUZZ_WAVEFRONT", "1") != "0":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var — only the
+        # config API works (memory note axon-tpu-env-quirks); without this
+        # the JAX legs silently fuzz through the TPU tunnel at ~1 trial/20s
+        import jax
+
+        jax.config.update(
+            "jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
         from tamp_tpu.ops.decode_wavefront import decode_shards_wavefront
 
         def wavefront(stream, dictionary, max_out):
@@ -73,7 +82,7 @@ def main() -> int:
 
     rng = random.Random(seed)
     t_end = time.time() + duration
-    trials = fails = wf_trials = 0
+    trials = fails = wf_trials = dev_trials = 0
 
     while time.time() < t_end:
         trials += 1
@@ -128,6 +137,47 @@ def main() -> int:
                 got = wavefront(ours, dict_, 16384)
                 assert got == data, "wavefront rt"
 
+            # device-planned extended leg: the on-chip pipeline (interpret
+            # kernels) must be byte-identical to the native planned
+            # committer at the same settings — incl. lazy (pure-position
+            # planned-lazy) and the split-field windows 14/15 — and its
+            # stream must decode in the reference package.
+            if (wavefront is not None and ext and not use_dict
+                    and n <= 6000 and rng.random() < 0.08):
+                from tamp_tpu.engine.pipeline_ext import (
+                    encode_ext_device_commit)
+                from tamp_tpu.engine.plan import (
+                    build_model_history, plan_runs)
+
+                dev_trials += 1
+                arr = np.frombuffer(data, np.uint8)
+                plans = plan_runs(arr)
+                keep, khat, dh = build_model_history(arr, plans, w)
+                if lazy:
+                    l16, i16, pl, pi = _native.native_v1_tables(
+                        dh, w, lit, 16, probe=True, ext_dict=True)
+                else:
+                    l16, i16 = _native.native_v1_tables(
+                        dh, w, lit, 16, ext_dict=True)
+                    pl = pi = None
+                rows = np.minimum(khat[:-1].astype(np.int64),
+                                  max(0, dh.shape[0] - 1)).astype(np.int64)
+                from tamp_tpu.engine.search_np import MatchTables
+
+                g = MatchTables(
+                    l16[rows], i16[rows], l16[rows], i16[rows],
+                    pl[rows] if lazy else None, pi[rows] if lazy else None)
+                want = _native.native_compress(
+                    data, window=w, literal=lit, extended=True,
+                    lazy_matching=lazy, tables=g, avoid_divergence=True,
+                    khat=khat, plan=plans, force_planned=True)
+                got = encode_ext_device_commit(
+                    [data], window=w, literal=lit, lazy_matching=lazy,
+                    interpret=True)[0]
+                assert got == want, "device planned parity"
+                assert bytes(ref.decompress(bytearray(got))) == data, \
+                    "planned rt via reference"
+
             if n <= 8192 and rng.random() < 0.25:
                 # optimal parse: decoded exactly by the reference package;
                 # the v1 DP is additionally never larger than greedy
@@ -171,7 +221,8 @@ def main() -> int:
                 break
         if trials % 200 == 0:
             print(f"{trials} trials, {fails} fails", flush=True)
-    print(f"DONE: {trials} trials ({wf_trials} wavefront), {fails} failures",
+    print(f"DONE: {trials} trials ({wf_trials} wavefront, "
+          f"{dev_trials} device-planned), {fails} failures",
           flush=True)
     return 1 if fails else 0
 
