@@ -61,11 +61,16 @@ def _shift_rows(M, k):
 
 
 def _runs(E, shift, cap: int):
-    """Leading-ones run lengths along the shift direction, exact to >= cap."""
+    """Leading-ones run lengths along the shift direction, exact to >= cap.
+
+    Accumulates in E's dtype: bf16 is integer-exact through 256 >= 2*LEXT,
+    and the doubling rounds over the (R, Q) matrices are the kernel's
+    dominant elementwise cost — half-width halves it.  Callers cast to f32
+    before mixing with W-scale score terms."""
     L = E
     k = 1
     while k < cap:
-        L = L + jnp.where(L == k, shift(L, k), 0.0)
+        L = L + jnp.where(L == k, shift(L, k), jnp.zeros((), E.dtype))
         k *= 2
     return L
 
@@ -92,10 +97,11 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
     oh_d = (dd_[:, None] == sym).astype(jnp.bfloat16)
     oh_s = (seg[:, None] == sym).astype(jnp.bfloat16)
     E = lax.dot_general(
-        oh_d, oh_s, (((1,), (1,)), ((), ())), preferred_element_type=_F
-    )  # (R, Q): E[r, q] = (d[t0+r] == seg[q])
+        oh_d, oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+    )  # (R, Q): E[r, q] = (d[t0+r] == seg[q]); 0/1 exact in bf16
 
-    runx = _runs(E, _shift2, LEXT)  # exact run lengths up to >= LEXT
+    runx = _runs(E, _shift2, LEXT)  # bf16, exact run lengths to >= LEXT
 
     # ---- ring geometry ------------------------------------------------
     tau = ((t0 + lax.broadcasted_iota(jnp.int32, (T, 1), 0)) % W).astype(_F)
@@ -106,7 +112,7 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
     band = qi - ri
     slot_term = capq - 1.0  # = W - 1 - x(q)
 
-    u = jnp.minimum(runx[:T], capq)
+    u = jnp.minimum(runx[:T].astype(_F), capq)
     mask16 = (band >= 0) & (band <= W - 16)
     maskx = (band >= 0) & (band <= W - LEXT)
     s16_big = jnp.max(
@@ -120,11 +126,11 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
     # gbit[r, dd-1] = (d[r + dd] == seg[r]): the post-head continuation.
     nd = LEXT - 1
     ebit = jnp.stack(
-        [(dd_ == lax.dynamic_slice(C, (t0 + W - k,), (R,))).astype(_F)
-         for k in range(1, nd + 1)], axis=1)
+        [(dd_ == lax.dynamic_slice(C, (t0 + W - k,), (R,)))
+         .astype(jnp.bfloat16) for k in range(1, nd + 1)], axis=1)
     gbit = jnp.stack(
-        [(lax.dynamic_slice(d, (t0 + k,), (R,)) == seg[:R]).astype(_F)
-         for k in range(1, nd + 1)], axis=1)
+        [(lax.dynamic_slice(d, (t0 + k,), (R,)) == seg[:R])
+         .astype(jnp.bfloat16) for k in range(1, nd + 1)], axis=1)
     v = _runs(ebit, _shift_rows, LEXT)
     gv = _runs(gbit, _shift_rows, LEXT)
 
@@ -143,8 +149,8 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
         x = jnp.where(t_ge, xc, xo)
         return jnp.max(val * W + (W - 1.0 - x), axis=1)
 
-    v_main = v[:T]
-    g_main = gv[:T]
+    v_main = v[:T].astype(_F)
+    g_main = gv[:T].astype(_F)
     sx_mini = mini_scores(v_main, g_main, delta, tau_ge, x_cross, x_old,
                           cap_cross, cap_old, float(LEXT))
     k16 = 15
@@ -175,8 +181,8 @@ def _ext_chunk(C, d, t0, window_bits: int, T: int, LEXT: int,
     # Probe head-crossing delta dd: target row r+1, source seg[r + W - dd]
     # = seg[(r+1) + W - (dd+1)] -> side column dd+1 shifted one row up.
     k15 = 15
-    v_probe = v[1 : T + 1, 1 : k15 + 1]
-    g_probe = gv[:T, 1 : k15 + 1]
+    v_probe = v[1 : T + 1, 1 : k15 + 1].astype(_F)
+    g_probe = gv[:T, 1 : k15 + 1].astype(_F)
     pm15 = mini_scores(
         v_probe, g_probe, delta[:, :k15], tau_ge[:, :k15],
         x_cross[:, :k15], x_old[:, :k15], cap_cross[:, :k15],
@@ -224,7 +230,8 @@ def ext_tables_device(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
 
 
 def ext_tables_host(data: np.ndarray, dictionary: np.ndarray,
-                    window_bits: int, maxpat: int, T: int = 256):
+                    window_bits: int, maxpat: int, T: int = 256,
+                    probe: bool = False):
     """Host convenience wrapper (pads one shard, pulls results) — used by the
     oracle-parity tests; production use keeps the outputs on device."""
     data = np.ascontiguousarray(data, np.uint8)
@@ -233,9 +240,9 @@ def ext_tables_host(data: np.ndarray, dictionary: np.ndarray,
     MP = n_chunks * T
     dh_b = np.zeros((1, MP), np.uint8)
     dh_b[0, :N] = data
-    l16, i16, lx, ix = ext_tables_device(
+    outs = ext_tables_device(
         jnp.asarray(dh_b), jnp.asarray(np.asarray([N], np.int32)),
         jnp.asarray(np.ascontiguousarray(dictionary, np.uint8).astype(np.int32)),
-        window_bits=window_bits, LEXT=maxpat, T=T, n_chunks=n_chunks)
-    return (np.asarray(l16)[0, :N], np.asarray(i16)[0, :N],
-            np.asarray(lx)[0, :N], np.asarray(ix)[0, :N])
+        window_bits=window_bits, LEXT=maxpat, T=T, n_chunks=n_chunks,
+        probe=probe)
+    return tuple(np.asarray(o)[0, :N] for o in outs)

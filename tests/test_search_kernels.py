@@ -90,3 +90,9 @@ def test_ext_device_tables_match_oracle(w, lit, rng):
     np.testing.assert_array_equal(i16, t16.idx16)
     np.testing.assert_array_equal(lx, lxo)
     np.testing.assert_array_equal(ix, ixo)
+    # the lazy probe family (target p+1, cap 15, ring state at p) against
+    # the NumPy oracle's compute_probe
+    tp = match_tables(arr, d, w, compute_probe=True)
+    _, _, _, _, pl, pi = ext_tables_host(arr, d, w, maxpat, probe=True)
+    np.testing.assert_array_equal(pl, tp.probe_len.astype(np.int32))
+    np.testing.assert_array_equal(pi, tp.probe_idx)
