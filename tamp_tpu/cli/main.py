@@ -198,20 +198,30 @@ def main(argv=None) -> int:
             # byte-identical to the in-memory container
             from tamp_tpu.parallel.shard import compress_file_sharded
 
+            dict_b = None
+            if args.dictionary is not None:
+                dict_b = bytes(load_dictionary(
+                    args.dictionary, args.window, args.literal, args.extended))
             compress_file_sharded(
                 inp, args.output, window=args.window, literal=args.literal,
                 extended=args.extended, lazy_matching=args.lazy_matching,
-                shard_size=args.shard_size, engine="native")
+                dictionary=dict_b, shard_size=args.shard_size,
+                engine="native")
             return 0
         data = _read(inp)
         if getattr(args, "optimal", False):
             if args.sharded:
                 from tamp_tpu.parallel.shard import compress_sharded
 
+                dict_b = None
+                if args.dictionary is not None:
+                    dict_b = bytes(load_dictionary(
+                        args.dictionary, args.window, args.literal,
+                        args.extended))
                 _write(args.output, compress_sharded(
                     data, window=args.window, literal=args.literal,
-                    extended=args.extended, shard_size=args.shard_size,
-                    engine="optimal"))
+                    extended=args.extended, dictionary=dict_b,
+                    shard_size=args.shard_size, engine="optimal"))
                 return 0
             from tamp_tpu.engine.encode import encode_extended_optimal, encode_v1
 
@@ -227,10 +237,15 @@ def main(argv=None) -> int:
         if args.sharded:
             from tamp_tpu.parallel.shard import compress_sharded
 
+            dict_b = None
+            if args.dictionary is not None:
+                dict_b = bytes(load_dictionary(
+                    args.dictionary, args.window, args.literal, args.extended))
             out = compress_sharded(
                 data, window=args.window, literal=args.literal,
                 extended=args.extended, lazy_matching=args.lazy_matching,
-                shard_size=args.shard_size, engine="native",
+                dictionary=dict_b, shard_size=args.shard_size,
+                engine="native",
             )
         else:
             kwargs = dict(
@@ -253,13 +268,23 @@ def main(argv=None) -> int:
             if magic == b"TTPU":  # file-to-file container: bounded memory
                 from tamp_tpu.parallel.shard import decompress_file_sharded
 
-                decompress_file_sharded(inp, args.output)
+                dict_b = None
+                if args.dictionary is not None:
+                    dict_b = bytes(load_dictionary(
+                        args.dictionary, args.window, args.literal,
+                        args.extended))
+                decompress_file_sharded(inp, args.output, dictionary=dict_b)
                 return 0
         data = _read(inp)
         if data[:4] == b"TTPU":
             from tamp_tpu.parallel.shard import decompress_sharded
 
-            out = bytes(decompress_sharded(data))
+            dict_b = None
+            if args.dictionary is not None:
+                dict_b = bytes(load_dictionary(
+                    args.dictionary, args.window, args.literal,
+                    args.extended))
+            out = bytes(decompress_sharded(data, dictionary=dict_b))
         else:
             kwargs = {}
             if args.dictionary is not None:

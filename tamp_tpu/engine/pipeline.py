@@ -69,6 +69,7 @@ def encode_v1_device_commit(
     window: int = 10,
     literal: int = 8,
     lazy_matching: bool = False,
+    dictionary: bytes | None = None,
     search_fn=None,
     interpret: bool | None = None,
     fused: bool | None = None,
@@ -131,7 +132,13 @@ def encode_v1_device_commit(
         from ..ops.encode_fused import SEARCH_T, encode_v1_fused_dev
 
         T = SEARCH_T if NP % SEARCH_T == 0 else TILE
-        dict_dev = jnp.asarray(dictionary_array(W, literal=8).astype(np.int32))
+        if dictionary is not None:
+            dict_np = np.frombuffer(bytes(dictionary), np.uint8)
+            if dict_np.shape[0] != W:
+                raise ValueError("Dictionary-window size mismatch.")
+        else:
+            dict_np = dictionary_array(W, literal=8)
+        dict_dev = jnp.asarray(dict_np.astype(np.int32))
 
         # Pipeline the batch in (at most) two device calls: the tunnel's
         # h2d RPC for the second group flies while the first group's
@@ -154,7 +161,8 @@ def encode_v1_device_commit(
 
         # Host model histories (tail-stitch inputs) overlap device compute.
         histories = [
-            model_history(d, window, literal, False, None)[1] for d in datas]
+            model_history(d, window, literal, False, dictionary)[1]
+            for d in datas]
         if len(handles) == 1:
             out, state = handles[0]
         else:
@@ -163,7 +171,8 @@ def encode_v1_device_commit(
             state = jnp.concatenate([h[1] for h in handles], axis=0)
     else:
         histories = [
-            model_history(d, window, literal, False, None)[1] for d in datas]
+            model_history(d, window, literal, False, dictionary)[1]
+            for d in datas]
         searcher = search_fn or match_tables
         packed = np.zeros((S, NP), np.int32)
         probe = np.zeros((S, NP), np.int32)
@@ -265,7 +274,8 @@ def encode_v1_device_commit(
         if an:
             tail.append((acc << (8 - an)) & 0xFF)
 
-        (hv, hn), = build_header(window, literal, False, False, False)
+        (hv, hn), = build_header(
+            window, literal, dictionary is not None, False, False)
         assert hn == 8
         results.append(bytes([hv]) + body + bytes(tail))
     return results

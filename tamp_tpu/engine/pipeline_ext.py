@@ -62,6 +62,7 @@ def encode_ext_device_commit(
     window: int = 10,
     literal: int = 8,
     lazy_matching: bool = False,
+    dictionary: bytes | None = None,
     search_fn=None,
     interpret: bool | None = None,
     device_tables: bool | None = None,
@@ -110,7 +111,12 @@ def encode_ext_device_commit(
     W = 1 << window
     minp = compute_min_pattern_size(window, literal)
     maxpat = minp + 131
-    dict_arr = dictionary_array(W, literal=literal)
+    if dictionary is not None:
+        dict_arr = np.frombuffer(bytes(dictionary), np.uint8)
+        if dict_arr.shape[0] != W:
+            raise ValueError("Dictionary-window size mismatch.")
+    else:
+        dict_arr = dictionary_array(W, literal=literal)
     dlast = int(dict_arr[-1])
 
     datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in shards]
@@ -261,7 +267,8 @@ def encode_ext_device_commit(
         tail = _native.native_ext_tail_bits(
             data, t_in, dh, khat, plans, window=window, literal=literal,
             acc=acc, an=an, lazy=lazy_matching, dictionary=dict_bytes)
-        (hv, hn), = build_header(window, literal, False, True, False)
+        (hv, hn), = build_header(
+            window, literal, dictionary is not None, True, False)
         assert hn == 8
         results.append(bytes([hv]) + body + tail)
     return results

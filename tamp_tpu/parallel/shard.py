@@ -213,23 +213,25 @@ def sharded_decode_step(mesh, streams, *, max_out: int):
 
 
 def _encode_one_shard(args):
-    data, window, literal, extended, lazy, engine = args
+    data, window, literal, extended, lazy, engine, dictionary = args
     if engine == "optimal":
         # minimum-bit parse per shard (lazy flag does not apply)
         if extended:
             from ..engine.encode import encode_extended_optimal
 
-            return encode_extended_optimal(data, window=window, literal=literal)
+            return encode_extended_optimal(
+                data, window=window, literal=literal, dictionary=dictionary)
         from ..engine.encode import encode_v1
 
-        return encode_v1(data, window=window, literal=literal, parse="optimal")
+        return encode_v1(data, window=window, literal=literal,
+                         parse="optimal", dictionary=dictionary)
     if engine == "device":
         from ..engine.pipeline import device_pipeline_available, encode_device
 
         if device_pipeline_available():
             return encode_device(
                 data, window=window, literal=literal, extended=extended,
-                lazy_matching=lazy,
+                lazy_matching=lazy, dictionary=dictionary,
             )
         engine = "native"
     if engine == "native":
@@ -238,7 +240,7 @@ def _encode_one_shard(args):
         if _native.available():
             return _native.native_compress(
                 data, window=window, literal=literal, extended=extended,
-                lazy_matching=lazy,
+                lazy_matching=lazy, dictionary=dictionary,
             )
         # No toolchain: the streaming Python codec beats the NumPy-oracle
         # tables path by an order of magnitude.
@@ -246,15 +248,17 @@ def _encode_one_shard(args):
 
         return py_compress(
             bytes(data), window=window, literal=literal, extended=extended,
-            lazy_matching=lazy,
+            lazy_matching=lazy, dictionary=dictionary,
         )
     from ..engine.encode import encode_v1
 
     if extended:
         from ..engine.encode_extended import encode_extended
 
-        return encode_extended(data, window=window, literal=literal, lazy_matching=lazy)
-    return encode_v1(data, window=window, literal=literal, lazy_matching=lazy)
+        return encode_extended(data, window=window, literal=literal,
+                               lazy_matching=lazy, dictionary=dictionary)
+    return encode_v1(data, window=window, literal=literal,
+                     lazy_matching=lazy, dictionary=dictionary)
 
 
 def compress_sharded(
@@ -264,6 +268,7 @@ def compress_sharded(
     literal: int = 8,
     extended: bool = True,
     lazy_matching: bool = False,
+    dictionary: bytes | None = None,
     shard_size: int = DEFAULT_SHARD_SIZE,
     workers: int | None = None,
     engine: str = "native",
@@ -274,7 +279,9 @@ def compress_sharded(
     per shard; ``"tables"`` routes each shard through the vectorized engine
     (search tables + native commit); ``"device"`` puts the search on the
     TPU.  Host work runs in a thread pool — the native codec releases the
-    GIL for the whole call via ctypes.
+    GIL for the whole call via ctypes.  ``dictionary`` (a full-window
+    custom dictionary) seeds every shard's window; pass the same one to
+    the decode side.
     """
     if workers is None:
         import os
@@ -311,7 +318,8 @@ def compress_sharded(
                 search = device_search_fn(window, literal, True)
             blobs = encode_ext_device_commit(
                 shards, window=window, literal=literal,
-                lazy_matching=lazy_matching, search_fn=search)
+                lazy_matching=lazy_matching, dictionary=dictionary,
+                search_fn=search)
             return _pack_frame(blobs, len(data), shard_size)
         from ..engine.pipeline import encode_v1_device_commit
 
@@ -322,9 +330,11 @@ def compress_sharded(
             search = device_search_fn(window, literal, False)
         blobs = encode_v1_device_commit(
             shards, window=window, literal=literal,
-            lazy_matching=lazy_matching, search_fn=search)
+            lazy_matching=lazy_matching, dictionary=dictionary,
+            search_fn=search)
         return _pack_frame(blobs, len(data), shard_size)
-    jobs = [(s, window, literal, extended, lazy_matching, engine) for s in shards]
+    jobs = [(s, window, literal, extended, lazy_matching, engine, dictionary)
+            for s in shards]
     if workers and len(shards) > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             blobs = list(ex.map(_encode_one_shard, jobs))
@@ -342,6 +352,7 @@ def compress_file_sharded(
     literal: int = 8,
     extended: bool = True,
     lazy_matching: bool = False,
+    dictionary: bytes | None = None,
     shard_size: int = DEFAULT_SHARD_SIZE,
     workers: int | None = None,
     engine: str = "native",
@@ -386,7 +397,8 @@ def compress_file_sharded(
         def read_jobs():
             for _ in range(n_shards):
                 s = src.read(shard_size)
-                yield (s, window, literal, extended, lazy_matching, engine)
+                yield (s, window, literal, extended, lazy_matching, engine,
+                       dictionary)
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             pending: deque = deque()
@@ -414,7 +426,8 @@ def compress_file_sharded(
             dst.close()
 
 
-def decompress_file_sharded(src, dst, workers: int | None = None) -> int:
+def decompress_file_sharded(src, dst, workers: int | None = None,
+                            dictionary: bytes | None = None) -> int:
     """Bounded-memory TTPU decompression of a file.
 
     Reads the frame header, then decodes shards on a thread pool with a
@@ -446,9 +459,15 @@ def decompress_file_sharded(src, dst, workers: int | None = None) -> int:
         sizes = struct.unpack(f"<{n}I", src.read(4 * n))
 
         if _native.available():
-            decode = _native.native_decompress
+            def decode(p):
+                return _native.native_decompress(p, dictionary=dictionary)
         else:
-            from ..decompressor import decompress as decode
+            from ..decompressor import decompress as _py_decode
+
+            def decode(p):
+                return _py_decode(
+                    p,
+                    dictionary=bytearray(dictionary) if dictionary else None)
 
         written = 0
         with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -473,14 +492,15 @@ def decompress_file_sharded(src, dst, workers: int | None = None) -> int:
             dst.close()
 
 
-def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
+def decompress_sharded(blob: bytes, workers: int | None = None,
+                       dictionary: bytes | None = None) -> bytearray:
     """Decode a TTPU container (shards decoded independently, in order;
     decoded in parallel through the native decoder when available).
 
     v2 containers decode zero-copy: one output buffer is allocated up
     front and every worker's native decoder writes its shard directly
     into its ``i * shard_size`` slice (ordered gather with no
-    concatenation pass)."""
+    concatenation pass).  ``dictionary`` must match the encode side's."""
     raw_size, shard_size, pieces = _parse_frame(blob)
 
     from .. import _native
@@ -497,7 +517,8 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
         def job(i: int) -> None:
             start = i * shard_size
             end = min(start + shard_size, raw_size)
-            got = _native.native_decompress_into(pieces[i], view[start:end])
+            got = _native.native_decompress_into(
+                pieces[i], view[start:end], dictionary=dictionary)
             if got != end - start:
                 raise ValueError("container raw-size mismatch")
 
@@ -512,9 +533,14 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
         return out
 
     if _native.available():
-        decode = _native.native_decompress  # v1 frame: sizes unknown up front
+        def decode(p):  # v1 frame: sizes unknown up front
+            return _native.native_decompress(p, dictionary=dictionary)
     else:
-        from ..decompressor import decompress as decode
+        from ..decompressor import decompress as _py_decode
+
+        def decode(p):
+            return _py_decode(
+                p, dictionary=bytearray(dictionary) if dictionary else None)
     if workers and len(pieces) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -531,7 +557,8 @@ def decompress_sharded(blob: bytes, workers: int | None = None) -> bytearray:
 
 
 def decompress_sharded_device(blob: bytes, shard_size: int | None = None,
-                              algorithm: str = "wavefront") -> bytearray:
+                              algorithm: str = "wavefront",
+                              dictionary: bytes | None = None) -> bytearray:
     """Decode a TTPU container on the device.
 
     ``algorithm="wavefront"`` (default): every decode stage is a dense
@@ -541,7 +568,8 @@ def decompress_sharded_device(blob: bytes, shard_size: int | None = None,
     (ops.decode_jax), kept as a second independent device implementation.
 
     ``shard_size`` (the per-shard output bound) comes from the v2 frame;
-    pass it explicitly only for v1 containers.
+    pass it explicitly only for v1 containers.  ``dictionary`` must match
+    the encode side's.
     """
     raw_size, frame_shard_size, pieces = _parse_frame(blob)
     if shard_size is None:
@@ -551,11 +579,13 @@ def decompress_sharded_device(blob: bytes, shard_size: int | None = None,
     if algorithm == "wavefront":
         from ..ops.decode_wavefront import decode_shards_wavefront
 
-        outs = decode_shards_wavefront(pieces, max_out=shard_size)
+        outs = decode_shards_wavefront(pieces, max_out=shard_size,
+                                       dictionary=dictionary)
     elif algorithm == "serial":
         from ..ops.decode_jax import decode_shards_device
 
-        outs = decode_shards_device(pieces, max_out=shard_size)
+        outs = decode_shards_device(pieces, max_out=shard_size,
+                                    dictionary=dictionary)
     else:
         raise ValueError(f"unknown device decode algorithm: {algorithm!r}")
     out = bytearray()
