@@ -53,6 +53,7 @@ def compress_distributed(
     window: int = 10,
     literal: int = 8,
     extended: bool = True,
+    dictionary: bytes | None = None,
     shard_size: int = 1 << 20,
     workers: int | None = None,
     engine: str = "native",
@@ -74,7 +75,8 @@ def compress_distributed(
     if jax.process_count() == 1:
         return compress_sharded(
             data, window=window, literal=literal, extended=extended,
-            shard_size=shard_size, workers=workers, engine=engine,
+            dictionary=dictionary, shard_size=shard_size, workers=workers,
+            engine=engine,
         )
 
     import numpy as np
@@ -85,7 +87,8 @@ def compress_distributed(
     pid, np_ = jax.process_index(), jax.process_count()
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
     mine = {
-        i: _encode_one_shard((s, window, literal, extended, False, engine))
+        i: _encode_one_shard(
+            (s, window, literal, extended, False, engine, dictionary))
         for i, s in enumerate(shards)
         if i % np_ == pid
     }

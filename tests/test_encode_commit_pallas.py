@@ -144,9 +144,11 @@ def test_container_device_commit_engine():
         data, engine="device-commit", extended=True, shard_size=1 << 14)
     assert bytes(decompress_sharded(blob_ext)) == data
     assert len(blob_ext) < len(blob)
-    with pytest.raises(ValueError):
-        compress_sharded(data, engine="device-commit", extended=True,
-                         lazy_matching=True)
-    with pytest.raises(ValueError):
-        compress_sharded(data, engine="device-commit", extended=True,
-                         window=14)
+    # round-2 gaps now capabilities: lazy matching and windows 14/15 run
+    # on the device ext path (parity pinned in tests/test_encode_ext_device)
+    blob_lazy = compress_sharded(data, engine="device-commit", extended=True,
+                                 lazy_matching=True, shard_size=1 << 14)
+    assert bytes(decompress_sharded(blob_lazy)) == data
+    blob_w14 = compress_sharded(data, engine="device-commit", extended=True,
+                                window=14, shard_size=1 << 14)
+    assert bytes(decompress_sharded(blob_w14)) == data
