@@ -117,6 +117,10 @@ def _load():
         lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, u32p, i64p, cint,
                                            i64, cint, cint, u8p, u8p, i64p]
         lib.tampn_opt_ext_plan.restype = cint
+        lib.tampn_ext_prep.argtypes = [
+            u8p, i64, cint, i64p, i64, i64p, u32p, u8p, u8p, i64p,
+        ]
+        lib.tampn_ext_prep.restype = cint
         lib.tampn_ext_tail_bits.argtypes = [
             u8p, i64, i64, u8p, i64, u32p, i64p, cint, u8p, cint, cint,
             cint, ctypes.c_uint32, cint, u8p, i64, i64p,
@@ -317,6 +321,33 @@ def native_v1_tables(data, window: int, literal: int, cap: int,
     if probe:
         return flen[:n], fidx[:n], plen[:n], pidx[:n]
     return flen[:n], fidx[:n]
+
+
+def native_ext_prep(data, window: int):
+    """One-pass planned-mode prep: (plans (n,2) int64, khat uint32[n+1],
+    dh uint8, rc uint8) — semantics identical to engine.plan.plan_runs +
+    build_model_history(window_bits=window) + pipeline_ext._chunk_counts
+    (the NumPy reference; differential-tested), at C speed."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    plans = np.zeros((n // 9 + 2, 2), np.int64)
+    khat = np.zeros(n + 1, np.uint32)
+    dh = np.zeros(max(n, 1), np.uint8)
+    rc = np.zeros(max(n, 1), np.uint8)
+    n_plans = ctypes.c_int64(0)
+    dh_len = ctypes.c_int64(0)
+    rcode = lib.tampn_ext_prep(
+        _u8p(data), n, window, _i64p_arr(plans), plans.shape[0],
+        ctypes.byref(n_plans), _u32p(khat), _u8p(dh), _u8p(rc),
+        ctypes.byref(dh_len),
+    )
+    if rcode != 0:
+        raise ValueError(f"ext prep failed (native rc={rcode})")
+    k = dh_len.value
+    return plans[: n_plans.value], khat, dh[:k], rc[:k]
 
 
 def native_ext_tail_bits(data, t_in: int, dh, khat, plans, *, window: int,

@@ -1832,6 +1832,79 @@ int tampn_v1_tables(const uint8_t* data, int64_t n, const uint8_t* dict,
   return 0;
 }
 
+// ---- planned-mode prep (device ext pipeline) --------------------------------
+// One pass over the input producing everything the device extended encode
+// pipeline needs on the host (the semantic reference is engine/plan.py
+// plan_runs + build_model_history(window_bits) + pipeline_ext._chunk_counts;
+// differential-tested in tests/test_encode_ext_device.py):
+//   plans  : (rle_start=s+1, end) int64 pairs for maximal byte runs >= 9
+//   khat   : uint32[n+1], kept (window-written) bytes among positions < t
+//   dh     : the kept byte stream (model history)
+//   rc     : uint8[dh_len], forced-RLE chunk input count (2..241) at each
+//            chunk's MODEL start, 0 elsewhere
+// Chunk rule (left-greedy): c = min(241, remn), c-- if it would leave a
+// single trailing byte; keeps = min(8, c, W - pos) with pos the ring
+// position at the chunk's model start (keeps never wrap the ring).
+// Returns 0, or -1 if plans_cap is too small (cap n/9+1 always suffices).
+int tampn_ext_prep(const uint8_t* data, int64_t n, int window,
+                   int64_t* plans, int64_t plans_cap, int64_t* n_plans,
+                   uint32_t* khat, uint8_t* dh, uint8_t* rc,
+                   int64_t* dh_len) {
+  const int W = 1 << window;
+  const int64_t MIN_RUN = 9, RLEMAX = 241, RLE_WIN = 8;
+  int64_t np_ = 0, k = 0, t = 0;
+  khat[0] = 0;
+  while (t < n) {
+    // find the maximal run starting at t
+    const uint8_t b = data[t];
+    int64_t e = t + 1;
+    while (e < n && data[e] == b) e++;
+    if (e - t < MIN_RUN) {
+      // ordinary bytes: all kept
+      for (int64_t p = t; p < e; p++) {
+        dh[k] = data[p];
+        rc[k] = 0;
+        khat[p + 1] = (uint32_t)++k;
+      }
+      t = e;
+      continue;
+    }
+    // run >= 9: byte at t is ordinary (the region starts at t+1)
+    dh[k] = b;
+    rc[k] = 0;
+    khat[t + 1] = (uint32_t)++k;
+    if (np_ >= plans_cap) return -1;
+    plans[2 * np_] = t + 1;
+    plans[2 * np_ + 1] = e;
+    np_++;
+    int64_t p = t + 1;
+    while (p < e) {
+      int64_t remn = e - p;
+      int64_t c = remn < RLEMAX ? remn : RLEMAX;
+      if (remn - c == 1) c--;
+      int64_t keep = c < RLE_WIN ? c : RLE_WIN;
+      int64_t room = W - (k % W);
+      if (keep > room) keep = room;  // room >= 1 always: keep >= 1
+      int64_t k0 = k;
+      rc[k0] = (uint8_t)c;
+      for (int64_t j = 0; j < keep; j++) {
+        dh[k] = b;
+        if (j) rc[k] = 0;
+        k++;
+      }
+      // a chunk keeps its FIRST `keep` input bytes (engine/plan.py
+      // _chunk_keep_mask): khat[p+q+1] = k0 + min(q+1, keep)
+      for (int64_t q = 0; q < c; q++)
+        khat[p + q + 1] = (uint32_t)(k0 + (q + 1 < keep ? q + 1 : keep));
+      p += c;
+    }
+    t = e;
+  }
+  *n_plans = np_;
+  *dh_len = k;
+  return 0;
+}
+
 // ---- planned-mode tail bits (device ext pipeline) ---------------------------
 // Resume the planned extended walk mid-stream and emit the remaining token
 // bits — the single source of planned-mode tail semantics (the device

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import compute_min_pattern_size
-from .plan import RLE_MAX, build_model_history, plan_runs
+from .plan import RLE_MAX
 
 __all__ = ["encode_ext_device_commit"]
 
@@ -135,8 +135,10 @@ def encode_ext_device_commit(
     dict_bytes = dict_arr.tobytes()
 
     def prep_one(data):
-        plans = plan_runs(data)
-        keep, khat, dh = build_model_history(data, plans, window)
+        # one native pass (plans + ring-aware khat + model stream + chunk
+        # counts); engine/plan.py is the semantic reference, differential-
+        # tested — the NumPy path costs ~56 ms/MB, the native one ~3
+        plans, khat, dh, rle_c = _native.native_ext_prep(data, window)
         if device_tables:
             tabs = None  # computed in one batched device call below
         elif have_native:
@@ -162,8 +164,7 @@ def encode_ext_device_commit(
                 pl_ = pi_ = np.zeros(0, np.int32)
             tabs = (np.asarray(t16.len16, np.int32),
                     np.asarray(t16.idx16, np.int32), lx, ix, pl_, pi_)
-        rle_c = _chunk_counts(plans, khat, dh.shape[0])
-        return (plans, keep, khat, dh, tabs, rle_c)
+        return (plans, khat, dh, tabs, rle_c)
 
     if S > 1:
         # NumPy and the native table builder release the GIL: per-shard prep
@@ -177,9 +178,9 @@ def encode_ext_device_commit(
     else:
         prep = [prep_one(d) for d in datas]
 
-    maxM = max(p[3].shape[0] for p in prep)
+    maxM = max(p[2].shape[0] for p in prep)
     MP = 1 << (max(maxM, TILE, 1) - 1).bit_length()
-    npos = np.asarray([p[3].shape[0] for p in prep], np.int32)
+    npos = np.asarray([p[2].shape[0] for p in prep], np.int32)
 
     def pad(rows, fill, dtype=np.int32):
         out = np.full((S, MP), fill, dtype)
@@ -193,7 +194,7 @@ def encode_ext_device_commit(
     # scatter-based sparse variant was tried and reverted: the
     # scatter-in-vmap graph stalled the remote TPU compiler indefinitely
     # where dense graphs compile in minutes).
-    rc_b = pad([p[5].astype(np.uint8) for p in prep], 0, np.uint8)
+    rc_b = pad([p[4] for p in prep], 0, np.uint8)
     rc_d = jnp.asarray(rc_b).astype(jnp.int32)
     bnd_d, rk_d = derive_region_arrays(rc_d, window=window)
 
@@ -202,7 +203,7 @@ def encode_ext_device_commit(
         from ..ops.match_ext_mxu import ext_tables_device
 
         SEARCH_T = 256
-        dh_u8 = pad([p[3] for p in prep], 0, np.uint8)
+        dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
         npos_d = jnp.asarray(npos)
         tabs_d = ext_tables_device(
             jnp.asarray(dh_u8), npos_d,
@@ -218,14 +219,14 @@ def encode_ext_device_commit(
         dh_d = jnp.where(col < npos_d[:, None],
                          jnp.asarray(dh_u8).astype(jnp.int32), 0x1FF)
     else:
-        dh_d = jnp.asarray(pad([p[3].astype(np.int32) for p in prep], 0x1FF))
-        l16_d = jnp.asarray(pad([p[4][0] for p in prep], 0))
-        i16_d = jnp.asarray(pad([p[4][1] for p in prep], 0))
-        lx_d = jnp.asarray(pad([p[4][2] for p in prep], 0))
-        ix_d = jnp.asarray(pad([p[4][3] for p in prep], 0))
+        dh_d = jnp.asarray(pad([p[2].astype(np.int32) for p in prep], 0x1FF))
+        l16_d = jnp.asarray(pad([p[3][0] for p in prep], 0))
+        i16_d = jnp.asarray(pad([p[3][1] for p in prep], 0))
+        lx_d = jnp.asarray(pad([p[3][2] for p in prep], 0))
+        ix_d = jnp.asarray(pad([p[3][3] for p in prep], 0))
         if lazy_matching:
-            pl_d = jnp.asarray(pad([p[4][4] for p in prep], 0))
-            pi_d = jnp.asarray(pad([p[4][5] for p in prep], 0))
+            pl_d = jnp.asarray(pad([p[3][4] for p in prep], 0))
+            pi_d = jnp.asarray(pad([p[3][5] for p in prep], 0))
 
     A, B = plan_fields_ext(
         dh_d, l16_d, i16_d, lx_d, ix_d, bnd_d, rc_d, rk_d,
@@ -249,7 +250,7 @@ def encode_ext_device_commit(
         st = state[i]
         if st[S_ERR] != 0:
             raise ExcessBitsError
-        plans, keep, khat, dh, tabs, _ = prep[i]
+        plans, khat, dh, tabs, _ = prep[i]
         t_m = int(st[S_T])
         acc, an = int(st[S_ACC]), int(st[S_AN])
         body = bodies[i].tobytes()
@@ -258,10 +259,11 @@ def encode_ext_device_commit(
         # stop (it re-searches the < 16 remaining positions against a
         # replayed ring itself — no tables cross the host link) and
         # returns the tail bytes with the kernel's bit remainder stitched
-        # in front.  Model position -> input position via the keep mask.
+        # in front.  Model position t_m -> input position: the first t
+        # with khat[t] == t_m among kept positions, i.e. the index where
+        # khat first reaches t_m + 1, minus one (khat is nondecreasing).
         if t_m < M:
-            kept_pos = np.flatnonzero(keep)
-            t_in = int(kept_pos[t_m])
+            t_in = int(np.searchsorted(khat, t_m + 1, side="left")) - 1
         else:
             t_in = data.shape[0]
         tail = _native.native_ext_tail_bits(

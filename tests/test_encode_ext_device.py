@@ -115,6 +115,31 @@ def test_batch_shapes_and_edges():
         assert bytes(_native.native_decompress(g)) == s
 
 
+@pytest.mark.parametrize("window", [8, 10, 15])
+def test_native_ext_prep_matches_numpy_reference(window):
+    """tampn_ext_prep (one-pass plans/khat/dh/rc) against the NumPy
+    semantic reference across run-heavy/periodic/text/random shapes and
+    ring-end chunk-keep geometry."""
+    from tamp_tpu.engine.pipeline_ext import _chunk_counts
+
+    rng = np.random.default_rng(window * 997)
+    W = 1 << window
+    for kind in range(4):
+        for n in (0, 1, 8, 9, 240, 241, 242, 243, W + W // 2,
+                  int(rng.integers(2000, 9000))):
+            data = np.frombuffer(_gen(rng, kind, max(n, 1), 255)[:n],
+                                 np.uint8)
+            plans_ref = plan_runs(data)
+            keep, khat_ref, dh_ref = build_model_history(
+                data, plans_ref, window)
+            rc_ref = _chunk_counts(plans_ref, khat_ref, dh_ref.shape[0])
+            plans, khat, dh, rc = _native.native_ext_prep(data, window)
+            np.testing.assert_array_equal(plans, plans_ref.reshape(-1, 2))
+            np.testing.assert_array_equal(khat, khat_ref)
+            np.testing.assert_array_equal(dh, dh_ref)
+            np.testing.assert_array_equal(rc.astype(np.int32), rc_ref)
+
+
 @pytest.mark.parametrize("window,literal", [(8, 8), (10, 8), (11, 6), (14, 8)])
 def test_lazy_matching_parity(window, literal):
     """Device lazy matching (planner-side pure-position deferral) must be
