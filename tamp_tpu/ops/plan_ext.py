@@ -141,11 +141,28 @@ def _ext_field(m, idx, minp: int, window: int):
     return value, hb + sbits + window
 
 
-@functools.partial(
-    jax.jit, static_argnames=("window", "literal", "dlast", "lazy"))
 def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
                     *, window: int, literal: int, dlast: int,
                     plen=None, pidx=None, lazy: bool = False):
+    """Dispatch wrapper: jitted everywhere EXCEPT the TPU backend, where
+    the remote compiler chokes on the fused ~80-op elementwise graph
+    (observed: >17 min without completing, round 3) — there the ops run
+    eagerly (each tiny op compiles once and caches), which is the round-2
+    proven path."""
+    if jax.default_backend() == "tpu":
+        return _plan_fields_ext_impl(
+            dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+            window=window, literal=literal, dlast=dlast,
+            plen=plen, pidx=pidx, lazy=lazy)
+    return _plan_fields_ext_jit(
+        dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+        window=window, literal=literal, dlast=dlast,
+        plen=plen, pidx=pidx, lazy=lazy)
+
+
+def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+                          *, window: int, literal: int, dlast: int,
+                          plen=None, pidx=None, lazy: bool = False):
     """Per-position fields for the planned extended walk.
 
     All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
@@ -298,3 +315,8 @@ def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
         # implies adv >= minp+12 > 2), so use_ev survives the fuse untouched
         B = B | jnp.where(use_ev, (1 << 15) | (idxx << 16), 0)
     return A, B
+
+
+_plan_fields_ext_jit = functools.partial(
+    jax.jit, static_argnames=("window", "literal", "dlast", "lazy"))(
+    _plan_fields_ext_impl)

@@ -40,10 +40,10 @@ def main() -> None:
     window, literal = 10, 8
     W = 1 << window
 
+    from tamp_tpu import _native
     from tamp_tpu.constants import compute_min_pattern_size
     from tamp_tpu.dictionary import dictionary_array
-    from tamp_tpu.engine.pipeline_ext import _chunk_counts, encode_ext_device_commit
-    from tamp_tpu.engine.plan import build_model_history, plan_runs
+    from tamp_tpu.engine.pipeline_ext import encode_ext_device_commit
     from tamp_tpu.ops.encode_commit_pallas import TILE, _commit_fields_batch
     from tamp_tpu.ops.match_ext_mxu import ext_tables_device
     from tamp_tpu.ops.plan_ext import derive_region_arrays, plan_fields_ext
@@ -54,10 +54,8 @@ def main() -> None:
 
     # ---- host prep (threaded, as pipeline_ext does) ----------------------
     def prep_one(d):
-        plans = plan_runs(d)
-        keep, khat, dh = build_model_history(d, plans, window)
-        rle_c = _chunk_counts(plans, khat, dh.shape[0])
-        return plans, keep, khat, dh, rle_c
+        plans, khat, dh, rle_c = _native.native_ext_prep(d, window)
+        return plans, khat, dh, rle_c
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -75,9 +73,9 @@ def main() -> None:
     print(json.dumps(out), flush=True)
 
     # ---- device stages ----------------------------------------------------
-    maxM = max(p[3].shape[0] for p in prep)
+    maxM = max(p[2].shape[0] for p in prep)
     MP = 1 << (max(maxM, TILE, 1) - 1).bit_length()
-    npos = np.asarray([p[3].shape[0] for p in prep], np.int32)
+    npos = np.asarray([p[2].shape[0] for p in prep], np.int32)
 
     def pad(rows, fill, dtype=np.int32):
         o = np.full((S, MP), fill, dtype)
@@ -85,8 +83,8 @@ def main() -> None:
             o[i, : r.shape[0]] = r
         return o
 
-    rc_b = pad([p[4].astype(np.uint8) for p in prep], 0, np.uint8)
-    dh_u8 = pad([p[3] for p in prep], 0, np.uint8)
+    rc_b = pad([p[3] for p in prep], 0, np.uint8)
+    dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
     rc_d = jax.device_put(jnp.asarray(rc_b)).astype(jnp.int32)
     dh_d8 = jax.device_put(jnp.asarray(dh_u8))
     npos_d = jnp.asarray(npos)
