@@ -169,13 +169,49 @@ def test_build_dictionary_size_validation():
 def _load_reference_builder():
     """Import the reference ``tamp build-dictionary`` implementation.
 
-    The reference builder's scoring kernels are Cython extensions
-    (tamp/_c_build_dictionary.pyx) and its CLI module imports ``cyclopts``;
-    neither ships compiled in this environment and installs are not
-    possible, so the head-to-head is skipped here and runs wherever the
-    reference package is pip-installed (like the enwik8 golden gate).
+    The reference builder's pipeline is pure Python except for three
+    Cython inner-loop kernels (tamp/_c_build_dictionary.pyx) that do not
+    ship compiled here, plus a top-level ``cyclopts`` import used only
+    for CLI annotations.  Both are stubbed: the kernels with the
+    independent re-implementations in tests/_ref_dictbuild_kernels.py,
+    cyclopts with a no-op Parameter/validators shim — so the reference
+    pipeline itself (scoring passes, phase-1/2/3 selection, dedup,
+    packing) runs unmodified for the head-to-head.
     """
     import sys
+    import types
+
+    if "cyclopts" not in sys.modules:
+        cyc = types.ModuleType("cyclopts")
+
+        class _Parameter:  # annotation metadata only; never introspected
+            def __init__(self, *a, **k):
+                pass
+
+        class _Number:
+            def __init__(self, *a, **k):
+                pass
+
+        cyc.Parameter = _Parameter
+        cyc.validators = types.SimpleNamespace(Number=_Number)
+        sys.modules["cyclopts"] = cyc
+
+    if "tamp._c_build_dictionary" not in sys.modules:
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "_ref_dictbuild_kernels",
+            os.path.join(os.path.dirname(__file__),
+                         "_ref_dictbuild_kernels.py"))
+        shim = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(shim)
+
+        mod = types.ModuleType("tamp._c_build_dictionary")
+        mod.score_substrings = shim.score_substrings
+        mod.score_and_multi_frag = shim.score_and_multi_frag
+        mod.select_candidates = shim.select_candidates
+        sys.modules["tamp._c_build_dictionary"] = mod
 
     sys.path.insert(0, "/root/reference")
     try:
