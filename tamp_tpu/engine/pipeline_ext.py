@@ -200,20 +200,33 @@ def encode_ext_device_commit(
 
     pl_d = pi_d = None
     if device_tables:
-        from ..ops.match_ext_mxu import ext_tables_device
-
-        SEARCH_T = 256
         dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
         npos_d = jnp.asarray(npos)
-        tabs_d = ext_tables_device(
-            jnp.asarray(dh_u8), npos_d,
-            jnp.asarray(dict_arr.astype(np.int32)),
-            window_bits=window, LEXT=maxpat, T=SEARCH_T,
-            n_chunks=MP // SEARCH_T, probe=lazy_matching)
-        if lazy_matching:
-            l16_d, i16_d, lx_d, ix_d, pl_d, pi_d = tabs_d
+        dict_d = jnp.asarray(dict_arr.astype(np.int32))
+        from ..ops.match_ext_pallas import (
+            ext_pallas_available, ext_tables_pallas,
+        )
+
+        PT = 1024
+        if not lazy_matching and ext_pallas_available() and MP % PT == 0:
+            # band-space VMEM-resident kernel: ~3x the XLA formulation
+            # (29 vs 90 ms/MB measured on v5e at the bench geometry)
+            l16_d, i16_d, lx_d, ix_d = ext_tables_pallas(
+                jnp.asarray(dh_u8), npos_d, dict_d, window_bits=window,
+                LEXT=maxpat, T=PT, n_chunks=MP // PT)
         else:
-            l16_d, i16_d, lx_d, ix_d = tabs_d
+            # XLA fallback: CPU interpret runs, and the lazy probe family
+            from ..ops.match_ext_mxu import ext_tables_device
+
+            SEARCH_T = 256
+            tabs_d = ext_tables_device(
+                jnp.asarray(dh_u8), npos_d, dict_d,
+                window_bits=window, LEXT=maxpat, T=SEARCH_T,
+                n_chunks=MP // SEARCH_T, probe=lazy_matching)
+            if lazy_matching:
+                l16_d, i16_d, lx_d, ix_d, pl_d, pi_d = tabs_d
+            else:
+                l16_d, i16_d, lx_d, ix_d = tabs_d
         # planner's dh stream: same uint8 transfer, sentinel past npos
         col = jnp.arange(MP, dtype=jnp.int32)[None, :]
         dh_d = jnp.where(col < npos_d[:, None],

@@ -32,6 +32,16 @@ stream, and the window-bit index carried in the B stream's free high bits
 (flag bit 15, index bits 16..30 — 15 bits, exactly window 15's reach).
 The commit kernel (ops/encode_commit_pallas._kernel_fields, idx_bits > 0)
 performs the second push; bit order on the wire is identical.
+
+Structure: the computation is decomposed into three stages —
+``_plan_stage1`` (run-structure scan), ``_plan_stage2`` (decisions +
+fields, the elementwise bulk), ``_plan_stage3`` (literal-pair fuse + B
+pack) — composed and jitted whole by ``plan_fields_ext`` on EVERY
+backend.  The whole-graph jit used to choke the remote TPU compiler
+(>17 min, rounds 2-3, forcing an eager op-by-op fallback there); the
+culprit was ``lax.associative_scan``'s lowering, not graph size — with
+``_rcummin``'s flat formulation the fused graph compiles on the TPU in
+~13 s and runs in ~5 ms at the bench geometry (measured round 3).
 """
 
 from __future__ import annotations
@@ -54,6 +64,25 @@ __all__ = ["plan_fields_ext", "derive_region_arrays", "MAX_PLAN_WINDOW"]
 
 MAX_PLAN_WINDOW = 15  # full lattice: >31-bit ext fields split (see above)
 SPLIT_WINDOW = 14     # first window needing the two-push extended field
+
+
+def _rcummin(x, fill):
+    """Reverse cumulative minimum along axis 1 via log-doubling with
+    STATIC shifts (concat of a slice and a ``fill`` pad).
+
+    Semantically identical to ``lax.associative_scan(jnp.minimum, x,
+    reverse=True, axis=1)`` — but that lowering (recursive odd/even
+    deinterleave, 20 levels of strided slices at MP = 1M) drove the
+    remote TPU compiler into the tens of minutes, where this flat ~60-op
+    graph of static slices compiles in seconds (measured round 3).
+    """
+    S, MP = x.shape
+    k = 1
+    while k < MP:
+        pad = jnp.full((S, min(k, MP)), fill, x.dtype)
+        x = jnp.minimum(x, jnp.concatenate([x[:, k:], pad], axis=1))
+        k <<= 1
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -81,29 +110,33 @@ def derive_region_arrays(rc, *, window: int):
     big = jnp.int32(MP + 256)
     p_i = lax.broadcasted_iota(jnp.int32, rc.shape, 1)
     nxt = jnp.where(rc > 0, p_i, big)
-    ncs = lax.associative_scan(jnp.minimum, nxt, reverse=True, axis=1)
+    ncs = _rcummin(nxt, big)
     after = jnp.roll(ncs, -1, axis=1).at[:, -1].set(big)
     bound = jnp.minimum(after - p_i, 255)
     rk = jnp.minimum(jnp.minimum(rc, 8), (1 << window) - (p_i & ((1 << window) - 1)))
     return bound, rk
 
 
-def _sec_codes(trail: int):
-    """(code, nbits) int32 tables for the secondary huffman + trail form,
-    indexed by the secondary symbol (0..14)."""
-    codes, bits = [], []
-    for sym in range(15):
-        codes.append(int(HUFFMAN_CODES[sym]))
-        bits.append(int(HUFFMAN_LENGTHS[sym]) - 1 + trail)
-    return codes, bits
-
-
 def _select(table, idx):
-    """Elementwise table lookup via compare-select (no gather)."""
+    """Elementwise table lookup via compare-select (no gather: XLA TPU
+    gathers run ~14 ns/element serial — a 15-way vselect chain is free)."""
     out = jnp.zeros_like(idx)
     for i, v in enumerate(table):
         out = jnp.where(idx == i, v, out)
     return out
+
+
+def _sec_lookup(sec, trail: int):
+    """(code, nbits) of the secondary huffman + trail form for secondary
+    symbol ``sec`` (0..14) — ONE packed 15-way select (code | nbits << 16)
+    instead of two, halving the lookup's op count."""
+    packed = []
+    for sym in range(15):
+        code = int(HUFFMAN_CODES[sym])
+        bits = int(HUFFMAN_LENGTHS[sym]) - 1 + trail
+        packed.append(code | (bits << 16))
+    p = _select(packed, sec)
+    return p & 0xFFFF, p >> 16
 
 
 def _rle_field(count, window: int):
@@ -111,9 +144,7 @@ def _rle_field(count, window: int):
     v = count - 2
     sec = v >> 4
     trail = v & 15
-    sc, sb = _sec_codes(4)
-    scode = _select(sc, sec)
-    sbits = _select(sb, sec)
+    scode, sbits = _sec_lookup(sec, 4)
     head = int(HUFFMAN_CODES[RLE_SYMBOL])
     hb = int(HUFFMAN_LENGTHS[RLE_SYMBOL])
     value = (((head << (sbits - 4)) | scode) << 4) | trail
@@ -129,9 +160,7 @@ def _ext_field(m, idx, minp: int, window: int):
     v = m - minp - 12
     sec = v >> 3
     trail = v & 7
-    sc, sb = _sec_codes(3)
-    scode = _select(sc, sec)
-    sbits = _select(sb, sec)
+    scode, sbits = _sec_lookup(sec, 3)
     head = int(HUFFMAN_CODES[EXTENDED_MATCH_SYMBOL])
     hb = int(HUFFMAN_LENGTHS[EXTENDED_MATCH_SYMBOL])
     value = ((((head << (sbits - 3)) | scode) << 3) | trail)
@@ -141,66 +170,36 @@ def _ext_field(m, idx, minp: int, window: int):
     return value, hb + sbits + window
 
 
-def plan_fields_ext(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
-                    *, window: int, literal: int, dlast: int,
-                    plen=None, pidx=None, lazy: bool = False):
-    """Dispatch wrapper: jitted everywhere EXCEPT the TPU backend, where
-    the remote compiler chokes on the fused ~80-op elementwise graph
-    (observed: >17 min without completing, round 3) — there the ops run
-    eagerly (each tiny op compiles once and caches), which is the round-2
-    proven path."""
-    if jax.default_backend() == "tpu":
-        return _plan_fields_ext_impl(
-            dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
-            window=window, literal=literal, dlast=dlast,
-            plen=plen, pidx=pidx, lazy=lazy)
-    return _plan_fields_ext_jit(
-        dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
-        window=window, literal=literal, dlast=dlast,
-        plen=plen, pidx=pidx, lazy=lazy)
+def _plan_stage1(dh, *, dlast: int):
+    """Run structure: previous byte and run availability (the scan)."""
+    MP = dh.shape[1]
+    p_i = lax.broadcasted_iota(jnp.int32, dh.shape, 1)
+    last = jnp.roll(dh, 1, axis=1).at[:, 0].set(dlast)
+    chg = (dh != last) | (dh > 255)
+    nxt = jnp.where(chg, p_i, MP)
+    # next change strictly after p: reverse cummin of change positions,
+    # shifted one left
+    nch = _rcummin(nxt, jnp.int32(MP))
+    nch_after = jnp.roll(nch, -1, axis=1).at[:, -1].set(MP)
+    avail = jnp.where(chg, 0, jnp.minimum(nch_after, MP) - p_i)
+    avail = jnp.minimum(avail, 16)  # pend cap (steady state)
+    return last, avail
 
 
-def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
-                          *, window: int, literal: int, dlast: int,
-                          plen=None, pidx=None, lazy: bool = False):
-    """Per-position fields for the planned extended walk.
+def _plan_stage2(dh, last, avail, len16, idx16, lenx, idxx, bound, rle_c,
+                 rle_k, plen, pidx, *, window: int, literal: int,
+                 lazy: bool):
+    """Per-position decision + field values (the elementwise bulk).
 
-    All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
-    dictionary): ``dh`` model bytes (padding value > 255); ``len16/idx16``
-    cap-16 match table; ``lenx/idxx`` cap-maxpat table; ``bound`` distance
-    to the next forced-RLE *chunk* start (large when none) — this equals
-    the region bound at every visited non-forced position, because a
-    region's first chunk start IS the region start and mid-region chunk
-    starts are only visited with rc >= 2 where the forced branch overrides
-    it (see derive_region_arrays for the equivalence argument); ``rle_c``
-    > 0 at forced-RLE chunk starts = the chunk's input run count, with
-    ``rle_k`` its kept (model) length.  ``dlast``: the dictionary's last
-    byte (ring byte behind model position 0).
-
-    Returns (A, B): field values and ``nb | adv << 6 | err << 14`` meta.
-    """
+    Returns pre-fuse (A, nb, adv, err, use_ev)."""
     minp = compute_min_pattern_size(window, literal)
     W = 1 << window
     lit_flag = 1 << literal
     lit_limit = 256 if literal == 8 else lit_flag
     nbl = literal + 1
-    MP = dh.shape[1]
     p_i = lax.broadcasted_iota(jnp.int32, dh.shape, 1)
     posring = p_i & (W - 1)
     room = W - posring
-
-    last = jnp.roll(dh, 1, axis=1).at[:, 0].set(dlast)
-    is_pad = dh > 255
-
-    # ---- run structure: avail[p] = bytes at p.. equal to last[p] --------
-    chg = (dh != last) | is_pad
-    nxt = jnp.where(chg, p_i, MP)
-    # next change strictly after p: reverse cummin of change positions,
-    # shifted one left
-    nch = lax.associative_scan(jnp.minimum, nxt, reverse=True, axis=1)
-    nch_after = jnp.roll(nch, -1, axis=1).at[:, -1].set(MP)
-    avail = jnp.where(chg, 0, jnp.minimum(nch_after, MP) - p_i)
-    avail = jnp.minimum(avail, 16)  # pend cap (steady state)
 
     # ---- first-search result (boundary-capped, table idx kept) ----------
     size1 = jnp.minimum(jnp.minimum(len16, bound), 16)
@@ -213,7 +212,6 @@ def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     split = total > room  # total <= 7 < 8 in steady state
     rle_cnt = jnp.where(split, room, total)
     lit1 = split & (room == 1)  # 1-byte remainder crosses the ring end
-    rv, rn = _rle_field(jnp.maximum(rle_cnt, 2), window)
 
     # ---- pattern action ---------------------------------------------------
     is_match = size1 >= minp
@@ -242,9 +240,9 @@ def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     ext_short = (~ext_fits) & (room >= minp + 12)
     ext_basic = (~ext_fits) & (room < minp + 12)
     m_emit = jnp.where(ext_fits, m, room)
-    split = window >= SPLIT_WINDOW  # two-push extended field (31-bit cap)
+    splitw = window >= SPLIT_WINDOW  # two-push extended field (31-bit cap)
     ev, en = _ext_field(jnp.maximum(m_emit, minp + 12),
-                        None if split else idxx, minp, window)
+                        None if splitw else idxx, minp, window)
     # basic-match field (covers both the plain match and the ext fallback)
     bm_len = jnp.where(ext_entry, minp + 11, size1)
     bm_idx = jnp.where(ext_entry, idxx, idx16)
@@ -263,6 +261,13 @@ def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     # the RLE split literal repeats `last` (== dh[p] inside a run)
     lsv = lit_flag | (last & 0xFF)
     lserr = last >= lit_limit
+
+    # ---- RLE field: forced chunk starts and the dynamic action are
+    # mutually exclusive A/nb writers (fr overrides below), so ONE lookup
+    # on the merged count serves both
+    fr = rle_c >= 2
+    rcnt = jnp.where(fr, rle_c, rle_cnt)
+    rv, rn = _rle_field(jnp.maximum(rcnt, 2), window)
 
     # ---- compose ----------------------------------------------------------
     # priority: forced-RLE chunk start > dynamic RLE > lazy literal >
@@ -291,14 +296,17 @@ def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     err = jnp.where(do_rle, jnp.where(lit1, lserr, False), err)
 
     # forced-RLE chunk starts override everything (walk inside regions)
-    fr = rle_c >= 2
-    fv, fn = _rle_field(jnp.maximum(rle_c, 2), window)
-    A = jnp.where(fr, fv, A)
-    nb = jnp.where(fr, fn, nb)
+    A = jnp.where(fr, rv, A)
+    nb = jnp.where(fr, rn, nb)
     adv = jnp.where(fr, rle_k, adv)
     err = jnp.where(fr, False, err)
+    return A, nb, adv, err, use_ev
 
-    # ---- fuse literal pairs ----------------------------------------------
+
+def _plan_stage3(A, nb, adv, err, use_ev, idxx, *, window: int,
+                 literal: int):
+    """Fuse literal pairs and pack the B stream."""
+    nbl = literal + 1
     is_lit_all = (nb == nbl) & (adv == 1)  # any single-literal action
     nxt_lit = jnp.roll(is_lit_all, -1, axis=1).at[:, -1].set(False)
     pair = is_lit_all & nxt_lit
@@ -310,13 +318,40 @@ def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
     err = jnp.where(pair, err | e2, err)
 
     B = nb | (adv << 6) | (err.astype(jnp.int32) << 14)
-    if split:
+    if window >= SPLIT_WINDOW:
         # the literal-pair fuse can never involve an ext position (use_ev
         # implies adv >= minp+12 > 2), so use_ev survives the fuse untouched
         B = B | jnp.where(use_ev, (1 << 15) | (idxx << 16), 0)
     return A, B
 
 
-_plan_fields_ext_jit = functools.partial(
+def _plan_fields_ext_impl(dh, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+                          *, window: int, literal: int, dlast: int,
+                          plen=None, pidx=None, lazy: bool = False):
+    """Per-position fields for the planned extended walk.
+
+    All arrays (S, MP) int32 in MODEL space (positions of C-hat minus the
+    dictionary): ``dh`` model bytes (padding value > 255); ``len16/idx16``
+    cap-16 match table; ``lenx/idxx`` cap-maxpat table; ``bound`` distance
+    to the next forced-RLE *chunk* start (large when none) — this equals
+    the region bound at every visited non-forced position, because a
+    region's first chunk start IS the region start and mid-region chunk
+    starts are only visited with rc >= 2 where the forced branch overrides
+    it (see derive_region_arrays for the equivalence argument); ``rle_c``
+    > 0 at forced-RLE chunk starts = the chunk's input run count, with
+    ``rle_k`` its kept (model) length.  ``dlast``: the dictionary's last
+    byte (ring byte behind model position 0).
+
+    Returns (A, B): field values and ``nb | adv << 6 | err << 14`` meta.
+    """
+    last, avail = _plan_stage1(dh, dlast=dlast)
+    A, nb, adv, err, use_ev = _plan_stage2(
+        dh, last, avail, len16, idx16, lenx, idxx, bound, rle_c, rle_k,
+        plen, pidx, window=window, literal=literal, lazy=lazy)
+    return _plan_stage3(A, nb, adv, err, use_ev, idxx,
+                        window=window, literal=literal)
+
+
+plan_fields_ext = functools.partial(
     jax.jit, static_argnames=("window", "literal", "dlast", "lazy"))(
     _plan_fields_ext_impl)
