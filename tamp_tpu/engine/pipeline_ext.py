@@ -26,12 +26,93 @@ machines); the planned-mode tokenization itself is this project's design.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..constants import compute_min_pattern_size
 from .plan import RLE_MAX
 
 __all__ = ["encode_ext_device_commit"]
+
+
+def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
+                           window: int, literal: int, dlast: int,
+                           lazy: bool, pallas_tables: bool,
+                           sparse_rc: bool, NP: int):
+    """Whole on-device half of the extended encode in ONE jitted graph:
+    sentinelize -> region arrays -> match tables -> field planner ->
+    Pallas commit.  The raw dh byte plane (plus the sparse chunk-count
+    sideband) is the only h2d; the packed output buffer and the commit
+    state are the only outputs.
+
+    ``sparse_rc``: the forced-RLE chunk-count stream is ~0.3% dense on
+    text, so it ships as (position, count) pairs — ``rc_a``/``rc_b``
+    (S, K) int32 with position == NP on padding entries — and expands on
+    device with ONE flat 1D scatter (compiles in seconds; the round-2
+    stall was specific to scatter-inside-vmap).  This halves the h2d
+    bytes, which bound the e2e rate through this environment's tunnel.
+    Dense fallback (``rc_a`` = (S, NP) uint8 plane) for run-heavy data
+    where the pair list would rival the plane."""
+    import jax.numpy as jnp
+
+    from ..ops.encode_commit_pallas import _commit_fields_batch
+    from ..ops.plan_ext import (
+        SPLIT_WINDOW, _plan_fields_ext_impl, derive_region_arrays,
+    )
+
+    minp = compute_min_pattern_size(window, literal)
+    maxpat = minp + 131
+    S = dh_u8.shape[0]
+    if sparse_rc:
+        flat = (jnp.arange(S, dtype=jnp.int32)[:, None] * (NP + 1)
+                + rc_a).reshape(-1)
+        z = jnp.zeros(S * (NP + 1), jnp.int32)
+        z = z.at[flat].set(rc_b.reshape(-1), mode="drop",
+                           unique_indices=True)
+        rc = z.reshape(S, NP + 1)[:, :NP]
+    else:
+        rc = rc_a.astype(jnp.int32)
+    bound, rk = derive_region_arrays(rc, window=window)
+    col = jnp.arange(NP, dtype=jnp.int32)[None, :]
+    dh_sent = jnp.where(col < npos[:, None],
+                        dh_u8.astype(jnp.int32), 0x1FF)
+    plen = pidx = None
+    if pallas_tables:
+        from ..ops.match_ext_pallas import ext_tables_pallas
+
+        l16, i16, lx, ix = ext_tables_pallas(
+            dh_u8, npos, dict_arr, window_bits=window, LEXT=maxpat,
+            T=1024, n_chunks=NP // 1024)
+    else:
+        from ..ops.match_ext_mxu import ext_tables_device
+
+        tabs = ext_tables_device(
+            dh_u8, npos, dict_arr, window_bits=window, LEXT=maxpat,
+            T=256, n_chunks=NP // 256, probe=lazy)
+        if lazy:
+            l16, i16, lx, ix, plen, pidx = tabs
+        else:
+            l16, i16, lx, ix = tabs
+    A, B = _plan_fields_ext_impl(
+        dh_sent, l16, i16, lx, ix, bound, rc, rk,
+        window=window, literal=literal, dlast=dlast,
+        plen=plen, pidx=pidx, lazy=lazy)
+    max_out = NP + NP // 8 + 64
+    return _commit_fields_batch(
+        A, B, npos, NP=NP, dual=True, max_out=max_out,
+        idx_bits=window if window >= SPLIT_WINDOW else 0,
+        interpret=False)
+
+
+@functools.lru_cache(maxsize=1)
+def _ext_device_stage():
+    import jax
+
+    return jax.jit(
+        _ext_device_stage_impl,
+        static_argnames=("window", "literal", "dlast", "lazy",
+                         "pallas_tables", "sparse_rc", "NP"))
 
 
 def _chunk_counts(plans, khat, M: int):
@@ -195,29 +276,62 @@ def encode_ext_device_commit(
     # scatter-in-vmap graph stalled the remote TPU compiler indefinitely
     # where dense graphs compile in minutes).
     rc_b = pad([p[4] for p in prep], 0, np.uint8)
-    rc_d = jnp.asarray(rc_b).astype(jnp.int32)
-    bnd_d, rk_d = derive_region_arrays(rc_d, window=window)
 
-    pl_d = pi_d = None
-    if device_tables:
+    if device_tables and not interpret:
+        # Fused path: sentinelize -> regions -> tables -> planner -> commit
+        # in ONE device call per group (the tunnel charges ~30 ms per RPC),
+        # with the batch split in two groups so the second group's h2d
+        # overlaps the first group's kernels (same as encode_v1's fused
+        # path).  The raw dh/rc byte planes are the only h2d.
+        from ..ops.match_ext_pallas import ext_pallas_available
+
         dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
-        npos_d = jnp.asarray(npos)
         dict_d = jnp.asarray(dict_arr.astype(np.int32))
-        from ..ops.match_ext_pallas import (
-            ext_pallas_available, ext_tables_pallas,
-        )
-
-        PT = 1024
-        if not lazy_matching and ext_pallas_available() and MP % PT == 0:
-            # band-space VMEM-resident kernel: ~3x the XLA formulation
-            # (29 vs 90 ms/MB measured on v5e at the bench geometry)
-            l16_d, i16_d, lx_d, ix_d = ext_tables_pallas(
-                jnp.asarray(dh_u8), npos_d, dict_d, window_bits=window,
-                LEXT=maxpat, T=PT, n_chunks=MP // PT)
+        use_pallas = (not lazy_matching and ext_pallas_available()
+                      and MP % 1024 == 0)
+        # sparse chunk-count sideband (see _ext_device_stage_impl): pad
+        # the pair lists to a pow2 bucket to bound recompiles
+        nz = [np.nonzero(rc_b[i])[0].astype(np.int32) for i in range(S)]
+        kmax = max((z.shape[0] for z in nz), default=0)
+        K = 1 << max(9, (max(kmax, 1) - 1).bit_length())
+        sparse = K <= MP // 8
+        if sparse:
+            rc_pos = np.full((S, K), MP, np.int32)
+            rc_cnt = np.zeros((S, K), np.int32)
+            for i, z in enumerate(nz):
+                rc_pos[i, : z.shape[0]] = z
+                rc_cnt[i, : z.shape[0]] = rc_b[i, z]
+        groups = [list(range(S))]
+        if S >= 4:
+            h = (S + 1) // 2
+            groups = [list(range(h)), list(range(h, S))]
+        stage = _ext_device_stage()
+        handles = [
+            stage(
+                jnp.asarray(dh_u8[g]),
+                jnp.asarray(rc_pos[g] if sparse else rc_b[g]),
+                jnp.asarray(rc_cnt[g] if sparse else rc_b[g][:, :1]
+                            .astype(np.int32)),
+                jnp.asarray(npos[g]), dict_d, window=window,
+                literal=literal, dlast=dlast, lazy=lazy_matching,
+                pallas_tables=use_pallas, sparse_rc=sparse, NP=MP)
+            for g in groups
+        ]
+        if len(handles) == 1:
+            out, state = handles[0]
         else:
-            # XLA fallback: CPU interpret runs, and the lazy probe family
+            out = jnp.concatenate([h[0] for h in handles], axis=0)
+            state = jnp.concatenate([h[1] for h in handles], axis=0)
+    else:
+        rc_d = jnp.asarray(rc_b).astype(jnp.int32)
+        bnd_d, rk_d = derive_region_arrays(rc_d, window=window)
+        pl_d = pi_d = None
+        if device_tables:
             from ..ops.match_ext_mxu import ext_tables_device
 
+            dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
+            npos_d = jnp.asarray(npos)
+            dict_d = jnp.asarray(dict_arr.astype(np.int32))
             SEARCH_T = 256
             tabs_d = ext_tables_device(
                 jnp.asarray(dh_u8), npos_d, dict_d,
@@ -227,32 +341,32 @@ def encode_ext_device_commit(
                 l16_d, i16_d, lx_d, ix_d, pl_d, pi_d = tabs_d
             else:
                 l16_d, i16_d, lx_d, ix_d = tabs_d
-        # planner's dh stream: same uint8 transfer, sentinel past npos
-        col = jnp.arange(MP, dtype=jnp.int32)[None, :]
-        dh_d = jnp.where(col < npos_d[:, None],
-                         jnp.asarray(dh_u8).astype(jnp.int32), 0x1FF)
-    else:
-        dh_d = jnp.asarray(pad([p[2].astype(np.int32) for p in prep], 0x1FF))
-        l16_d = jnp.asarray(pad([p[3][0] for p in prep], 0))
-        i16_d = jnp.asarray(pad([p[3][1] for p in prep], 0))
-        lx_d = jnp.asarray(pad([p[3][2] for p in prep], 0))
-        ix_d = jnp.asarray(pad([p[3][3] for p in prep], 0))
-        if lazy_matching:
-            pl_d = jnp.asarray(pad([p[3][4] for p in prep], 0))
-            pi_d = jnp.asarray(pad([p[3][5] for p in prep], 0))
+            col = jnp.arange(MP, dtype=jnp.int32)[None, :]
+            dh_d = jnp.where(col < npos_d[:, None],
+                             jnp.asarray(dh_u8).astype(jnp.int32), 0x1FF)
+        else:
+            dh_d = jnp.asarray(
+                pad([p[2].astype(np.int32) for p in prep], 0x1FF))
+            l16_d = jnp.asarray(pad([p[3][0] for p in prep], 0))
+            i16_d = jnp.asarray(pad([p[3][1] for p in prep], 0))
+            lx_d = jnp.asarray(pad([p[3][2] for p in prep], 0))
+            ix_d = jnp.asarray(pad([p[3][3] for p in prep], 0))
+            if lazy_matching:
+                pl_d = jnp.asarray(pad([p[3][4] for p in prep], 0))
+                pi_d = jnp.asarray(pad([p[3][5] for p in prep], 0))
 
-    A, B = plan_fields_ext(
-        dh_d, l16_d, i16_d, lx_d, ix_d, bnd_d, rc_d, rk_d,
-        window=window, literal=literal, dlast=dlast,
-        plen=pl_d, pidx=pi_d, lazy=lazy_matching)
+        A, B = plan_fields_ext(
+            dh_d, l16_d, i16_d, lx_d, ix_d, bnd_d, rc_d, rk_d,
+            window=window, literal=literal, dlast=dlast,
+            plen=pl_d, pidx=pi_d, lazy=lazy_matching)
 
-    from ..ops.plan_ext import SPLIT_WINDOW
+        from ..ops.plan_ext import SPLIT_WINDOW
 
-    max_out = MP + MP // 8 + 64
-    out, state = _commit_fields_batch(
-        A, B, jnp.asarray(npos), NP=MP, dual=True, max_out=max_out,
-        idx_bits=window if window >= SPLIT_WINDOW else 0,
-        interpret=interpret)
+        max_out = MP + MP // 8 + 64
+        out, state = _commit_fields_batch(
+            A, B, jnp.asarray(npos), NP=MP, dual=True, max_out=max_out,
+            idx_bits=window if window >= SPLIT_WINDOW else 0,
+            interpret=interpret)
     state = np.asarray(state)
     from .pipeline import _pull_body_bytes
 

@@ -110,12 +110,23 @@ def main() -> None:
     bnd_d, rk_d = timeit(
         "derive_regions", lambda: derive_region_arrays(rc_d, window=window))
 
-    SEARCH_T = 256
-    tabs = timeit(
-        "ext_tables",
-        lambda: ext_tables_device(
-            dh_d8, npos_d, dict_d, window_bits=window, LEXT=maxpat,
-            T=SEARCH_T, n_chunks=MP // SEARCH_T))
+    from tamp_tpu.ops.match_ext_pallas import (
+        ext_pallas_available, ext_tables_pallas,
+    )
+
+    if ext_pallas_available() and MP % 1024 == 0:
+        tabs = timeit(
+            "ext_tables",
+            lambda: ext_tables_pallas(
+                dh_d8, npos_d, dict_d, window_bits=window, LEXT=maxpat,
+                T=1024, n_chunks=MP // 1024))
+    else:
+        SEARCH_T = 256
+        tabs = timeit(
+            "ext_tables",
+            lambda: ext_tables_device(
+                dh_d8, npos_d, dict_d, window_bits=window, LEXT=maxpat,
+                T=SEARCH_T, n_chunks=MP // SEARCH_T))
     l16_d, i16_d, lx_d, ix_d = tabs
 
     col = jnp.arange(MP, dtype=jnp.int32)[None, :]
