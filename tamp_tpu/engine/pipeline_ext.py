@@ -287,8 +287,11 @@ def encode_ext_device_commit(
 
         dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
         dict_d = jnp.asarray(dict_arr.astype(np.int32))
+        # The band-space kernel unrolls W/128 shear blocks: Mosaic compile
+        # cost grows linearly with W, so large windows stay on the XLA
+        # formulation (whose cost is W-linear at runtime either way).
         use_pallas = (not lazy_matching and ext_pallas_available()
-                      and MP % 1024 == 0)
+                      and MP % 1024 == 0 and window <= 12)
         # sparse chunk-count sideband (see _ext_device_stage_impl): pad
         # the pair lists to a pow2 bucket to bound recompiles
         nz = [np.nonzero(rc_b[i])[0].astype(np.int32) for i in range(S)]
