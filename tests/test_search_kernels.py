@@ -121,3 +121,22 @@ def test_ext_pallas_tables_match_oracle(w, lit, rng):
     np.testing.assert_array_equal(i16, t16.idx16)
     np.testing.assert_array_equal(lx, lxo)
     np.testing.assert_array_equal(ix, ixo)
+
+
+def test_rcummin_matches_associative_scan(rng):
+    # _rcummin exists because lax.associative_scan's lowering stalls the
+    # remote TPU compiler (BASELINE.md round-3 ledger); it must stay a
+    # drop-in semantic replacement.
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tamp_tpu.ops.plan_ext import _rcummin
+
+    for mp in (1, 7, 64, 1000):
+        x = np.array(
+            [[rng.randrange(0, mp + 300) for _ in range(mp)]
+         for _ in range(3)], np.int32)
+        want = lax.associative_scan(
+            jnp.minimum, jnp.asarray(x), reverse=True, axis=1)
+        got = _rcummin(jnp.asarray(x), jnp.int32(mp + 300))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
