@@ -39,7 +39,8 @@ __all__ = ["encode_ext_device_commit"]
 def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
                            window: int, literal: int, dlast: int,
                            lazy: bool, pallas_tables: bool,
-                           sparse_rc: bool, NP: int):
+                           sparse_rc: bool, NP: int,
+                           interpret: bool = False):
     """Whole on-device half of the extended encode in ONE jitted graph:
     sentinelize -> region arrays -> match tables -> field planner ->
     Pallas commit.  The raw dh byte plane (plus the sparse chunk-count
@@ -102,7 +103,7 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
     return _commit_fields_batch(
         A, B, npos, NP=NP, dual=True, max_out=max_out,
         idx_bits=window if window >= SPLIT_WINDOW else 0,
-        interpret=False)
+        interpret=interpret)
 
 
 @functools.lru_cache(maxsize=1)
@@ -112,7 +113,7 @@ def _ext_device_stage():
     return jax.jit(
         _ext_device_stage_impl,
         static_argnames=("window", "literal", "dlast", "lazy",
-                         "pallas_tables", "sparse_rc", "NP"))
+                         "pallas_tables", "sparse_rc", "NP", "interpret"))
 
 
 def _chunk_counts(plans, khat, M: int):

@@ -261,3 +261,77 @@ def test_device_tables_byte_parity(rng):
     if _native.available():
         for b, s in zip(got, shards):
             assert bytes(_native.native_decompress(b)) == s
+
+
+def test_fused_device_stage_matches_stepwise(rng):
+    """The ONE-jit fused device stage (sparse and dense rc forms) must
+    reproduce the step-by-step composition exactly — this is the graph
+    the TPU runs; on CPU both run with the XLA tables and the interpret
+    commit kernel."""
+    import jax.numpy as jnp
+
+    from tamp_tpu.dictionary import dictionary_array
+    from tamp_tpu.engine.pipeline_ext import _ext_device_stage_impl
+    from tamp_tpu.ops.encode_commit_pallas import _commit_fields_batch
+    from tamp_tpu.ops.match_ext_mxu import ext_tables_device
+    from tamp_tpu.ops.plan_ext import derive_region_arrays, plan_fields_ext
+
+    window, literal = 10, 8
+    W = 1 << window
+    dict_arr = dictionary_array(W, literal=literal)
+    dlast = int(dict_arr[-1])
+    NP = 2048
+    S = 2
+    data = (b"the best of times " * 40 + bytes([9]) * 700)
+    dh = np.zeros((S, NP), np.uint8)
+    rc = np.zeros((S, NP), np.uint8)
+    npos = np.zeros(S, np.int32)
+    for i in range(S):
+        arr = np.frombuffer(data[: 900 + 300 * i], np.uint8)
+        dh[i, : arr.shape[0]] = arr
+        npos[i] = arr.shape[0]
+        # synthetic forced-RLE chunk starts (values 2..241 at sparse spots)
+        for k in range(5 + i):
+            rc[i, 37 + 101 * k] = 17 + 20 * k
+    dict_d = jnp.asarray(dict_arr.astype(np.int32))
+    npos_d = jnp.asarray(npos)
+    dh_d = jnp.asarray(dh)
+
+    # step-by-step reference composition
+    rc_d = jnp.asarray(rc).astype(jnp.int32)
+    bnd, rk = derive_region_arrays(rc_d, window=window)
+    l16, i16, lx, ix = ext_tables_device(
+        dh_d, npos_d, dict_d, window_bits=window, LEXT=133, T=256,
+        n_chunks=NP // 256)
+    col = jnp.arange(NP, dtype=jnp.int32)[None, :]
+    dh_sent = jnp.where(col < npos_d[:, None],
+                        dh_d.astype(jnp.int32), 0x1FF)
+    A, B = plan_fields_ext(dh_sent, l16, i16, lx, ix, bnd, rc_d, rk,
+                           window=window, literal=literal, dlast=dlast)
+    out_ref, st_ref = _commit_fields_batch(
+        A, B, npos_d, NP=NP, dual=True, max_out=NP + NP // 8 + 64,
+        idx_bits=0, interpret=True)
+
+    # fused stage, dense rc
+    out_d, st_d = _ext_device_stage_impl(
+        dh_d, jnp.asarray(rc), jnp.asarray(rc[:, :1].astype(np.int32)),
+        npos_d, dict_d, window=window, literal=literal, dlast=dlast,
+        lazy=False, pallas_tables=False, sparse_rc=False, NP=NP,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(st_d), np.asarray(st_ref))
+
+    # fused stage, sparse rc sideband
+    K = 16
+    pos_s = np.full((S, K), NP, np.int32)
+    cnt_s = np.zeros((S, K), np.int32)
+    for i in range(S):
+        z = np.nonzero(rc[i])[0]
+        pos_s[i, : z.shape[0]] = z
+        cnt_s[i, : z.shape[0]] = rc[i, z]
+    out_s, st_s = _ext_device_stage_impl(
+        dh_d, jnp.asarray(pos_s), jnp.asarray(cnt_s), npos_d, dict_d,
+        window=window, literal=literal, dlast=dlast, lazy=False,
+        pallas_tables=False, sparse_rc=True, NP=NP, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(st_s), np.asarray(st_ref))
