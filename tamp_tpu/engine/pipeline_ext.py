@@ -290,12 +290,13 @@ def encode_ext_device_commit(
         dict_d = jnp.asarray(dict_arr.astype(np.int32))
         # The band-space kernel unrolls W/128 band blocks and Mosaic does
         # not reuse the unrolled blocks' temporaries (w=12 hit scoped-VMEM
-        # OOM: 28.6M vs the 16M/core limit; w=10 peaks ~7M) — so only the
-        # measured-safe window uses it and larger windows stay on the XLA
+        # OOM: 28.6M vs the 16M/core limit; w=10 ~7M and w=11 compile+run
+        # verified on-chip, 51.5 ms/MB parity-exact) — so only the
+        # measured-safe windows use it and larger windows stay on the XLA
         # formulation.  Lifting the cap needs the block loop as a
         # lax.fori_loop (dynamic roll shifts) so buffers are reused.
         use_pallas = (not lazy_matching and ext_pallas_available()
-                      and MP % 1024 == 0 and window <= 10)
+                      and MP % 1024 == 0 and window <= 11)
         # sparse chunk-count sideband (see _ext_device_stage_impl): pad
         # the pair lists to a pow2 bucket to bound recompiles
         nz = [np.nonzero(rc_b[i])[0].astype(np.int32) for i in range(S)]
