@@ -49,12 +49,14 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
 
     ``sparse_rc``: the forced-RLE chunk-count stream is ~0.3% dense on
     text, so it ships as (position, count) pairs — ``rc_a``/``rc_b``
-    (S, K) int32 with position == NP on padding entries — and expands on
-    device with ONE flat 1D scatter (compiles in seconds; the round-2
-    stall was specific to scatter-inside-vmap).  This halves the h2d
-    bytes, which bound the e2e rate through this environment's tunnel.
-    Dense fallback (``rc_a`` = (S, NP) uint8 plane) for run-heavy data
-    where the pair list would rival the plane."""
+    (S, K) int32 with DISTINCT positions NP + k on padding entries (so
+    every flat index really is unique and ``unique_indices=True`` is
+    honest; the padding zone [NP, NP + K) is sliced off) — and expands
+    on device with ONE flat 1D scatter (compiles in seconds; the
+    round-2 stall was specific to scatter-inside-vmap).  This halves
+    the h2d bytes, which bound the e2e rate through this environment's
+    tunnel.  Dense fallback (``rc_a`` = (S, NP) uint8 plane) for
+    run-heavy data where the pair list would rival the plane."""
     import jax.numpy as jnp
 
     from ..ops.encode_commit_pallas import _commit_fields_batch
@@ -66,12 +68,13 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
     maxpat = minp + 131
     S = dh_u8.shape[0]
     if sparse_rc:
-        flat = (jnp.arange(S, dtype=jnp.int32)[:, None] * (NP + 1)
+        stride = NP + rc_a.shape[1]
+        flat = (jnp.arange(S, dtype=jnp.int32)[:, None] * stride
                 + rc_a).reshape(-1)
-        z = jnp.zeros(S * (NP + 1), jnp.int32)
+        z = jnp.zeros(S * stride, jnp.int32)
         z = z.at[flat].set(rc_b.reshape(-1), mode="drop",
                            unique_indices=True)
-        rc = z.reshape(S, NP + 1)[:, :NP]
+        rc = z.reshape(S, stride)[:, :NP]
     else:
         rc = rc_a.astype(jnp.int32)
     bound, rk = derive_region_arrays(rc, window=window)
@@ -304,7 +307,9 @@ def encode_ext_device_commit(
         K = 1 << max(9, (max(kmax, 1) - 1).bit_length())
         sparse = K <= MP // 8
         if sparse:
-            rc_pos = np.full((S, K), MP, np.int32)
+            # padding entries get DISTINCT out-of-range positions MP + k
+            # (scatter contract of _ext_device_stage_impl's sparse_rc)
+            rc_pos = MP + np.tile(np.arange(K, dtype=np.int32), (S, 1))
             rc_cnt = np.zeros((S, K), np.int32)
             for i, z in enumerate(nz):
                 rc_pos[i, : z.shape[0]] = z

@@ -123,6 +123,55 @@ def test_ext_pallas_tables_match_oracle(w, lit, rng):
     np.testing.assert_array_equal(ix, ixo)
 
 
+def test_ext_pallas_ring_wrap_at_production_window(rng):
+    # n > W at window 10 (the production default): the ring-wrap / old-window
+    # glue geometry (x_old = x_cross + W, slot wrap in mscore) must be
+    # exercised IN the suite, not only by on-chip runs (ADVICE r03).  T=128
+    # keeps interpret mode ~6 s.
+    from tamp_tpu.engine.search_np import match_tables_ext
+    from tamp_tpu.ops.match_ext_pallas import ext_tables_pallas_host
+
+    w, maxpat = 10, 133
+    d = dictionary_array(1 << w, literal=8)
+    n = 1500
+    text = (b"ababcabcd abcd abcd xyz " * 80)[: n // 2]
+    data = (text + bytes([7]) * 300
+            + bytes(rng.getrandbits(8) for _ in range(n - len(text) - 300)))
+    arr = np.frombuffer(data, np.uint8)
+    t16 = match_tables(arr, d, w)
+    lxo, ixo = match_tables_ext(arr, d, w, maxpat)
+    l16, i16, lx, ix = ext_tables_pallas_host(arr, d, w, maxpat, T=128,
+                                              interpret=True)
+    np.testing.assert_array_equal(l16, t16.len16.astype(np.int32))
+    np.testing.assert_array_equal(i16, t16.idx16)
+    np.testing.assert_array_equal(lx, lxo)
+    np.testing.assert_array_equal(ix, ixo)
+
+
+def test_ext_pallas_wrap_zone_bound(rng):
+    # Adversarial geometry for the R >= T + LEXT + 129 wrap-zone bound
+    # (match_ext_pallas module docstring): all-equal bytes make EVERY lane's
+    # run maximal, so the log-doubling consumes the deepest lanes an output
+    # lane can reach (r + LEXT from lane T-1) in every band and glue row —
+    # if pltpu.roll's wrap corruption leaked below R - 128, some output lane
+    # would differ from the oracle.  Multiple chunks cover the chunk-seam
+    # runs too.
+    from tamp_tpu.engine.search_np import match_tables_ext
+    from tamp_tpu.ops.match_ext_pallas import ext_tables_pallas_host
+
+    w, maxpat = 8, 133
+    d = dictionary_array(1 << w, literal=8)
+    arr = np.full(420, 7, np.uint8)  # > 3 chunks at T=128, spans the ring
+    t16 = match_tables(arr, d, w)
+    lxo, ixo = match_tables_ext(arr, d, w, maxpat)
+    l16, i16, lx, ix = ext_tables_pallas_host(arr, d, w, maxpat, T=128,
+                                              interpret=True)
+    np.testing.assert_array_equal(l16, t16.len16.astype(np.int32))
+    np.testing.assert_array_equal(i16, t16.idx16)
+    np.testing.assert_array_equal(lx, lxo)
+    np.testing.assert_array_equal(ix, ixo)
+
+
 def test_rcummin_matches_associative_scan(rng):
     # _rcummin exists because lax.associative_scan's lowering stalls the
     # remote TPU compiler (BASELINE.md round-3 ledger); it must stay a
