@@ -202,6 +202,14 @@ struct Committer {
   const uint32_t* khat = nullptr;
   const int64_t* plan = nullptr; int n_plan = 0;
   int plan_i = 0;
+  // Planned-mode model stream (dh = data[keep], M = khat[N]): table-less
+  // planned searches target THIS stream, not the input — the device
+  // planner's tables (ops/plan_ext.py) are model-target, and past a plan
+  // boundary the two diverge (the model deletes RLE-region bytes), which
+  // can flip the lowest-index-among-maximal tie-break of a boundary-capped
+  // match even though every capped prefix is identical.
+  const uint8_t* dh = nullptr; int64_t M = 0;
+  std::vector<uint8_t> dh_own;
   inline int64_t chat(int64_t p) const {  // input position -> model position
     return khat ? (int64_t)khat[p] : p;
   }
@@ -539,6 +547,16 @@ struct Committer {
       int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
       return chain_search(data + t, tl, cap, 0);
     }
+    if (plan && dh) {
+      // Device-planner semantics (ops/plan_ext.py size1): longest over the
+      // MODEL target at full cap, lowest slot among maximal; the boundary
+      // cap is applied afterward KEEPING the index.
+      int64_t mt = chat(t);
+      int tl = (int)((M - mt) < LOOKAHEAD ? (M - mt) : LOOKAHEAD);
+      SearchResult r = chain_search(dh + mt, tl, full_cap, 0);
+      if (r.size > cap) r.size = cap;
+      return r;
+    }
     int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
     return chain_search(data + t, tl, cap, 0);
   }
@@ -861,10 +879,21 @@ struct Committer {
           // index.  Replaces the byte-at-a-time growth loop in planned
           // mode (the cached-match entry keeps the growth path: its
           // emit-at-equal-length keeps the cached index, which a
-          // max-length table cannot represent).
-          SearchResult r = chain_search(
-              data + t, (int)(N - t < (int64_t)maxpat ? N - t : maxpat),
-              maxpat, 0);
+          // max-length table cannot represent).  The target is the MODEL
+          // stream (the device lenx table's target, ops/match_ext_mxu):
+          // past the boundary the input continues with deleted run bytes
+          // the model does not, which can flip the maximal index.
+          SearchResult r;
+          if (dh) {
+            int64_t mt = chat(t);
+            int tl = (int)((M - mt) < (int64_t)maxpat ? (M - mt)
+                                                      : (int64_t)maxpat);
+            r = chain_search(dh + mt, tl, maxpat, 0);
+          } else {
+            r = chain_search(
+                data + t, (int)(N - t < (int64_t)maxpat ? N - t : maxpat),
+                maxpat, 0);
+          }
           int m = (int)((int64_t)r.size < rem ? (int64_t)r.size : rem);
           emit_ext_planned(r.idx, m);
           return;
@@ -1048,6 +1077,14 @@ int tampn_compress(const uint8_t* data, int64_t n,
   c.avoid_divergence = avoid_divergence != 0 && extended != 0;
   c.data = data; c.N = n;
   if (extended) { c.khat = khat; c.plan = plan; c.n_plan = n_plan; }
+  if (c.plan && khat) {
+    // model stream for planned-mode searches (see Committer::dh)
+    c.M = (int64_t)khat[n];
+    c.dh_own.resize((size_t)c.M);
+    for (int64_t p = 0; p < n; p++)
+      if (khat[p + 1] > khat[p]) c.dh_own[khat[p]] = data[p];
+    c.dh = c.dh_own.data();
+  }
   c.flen = flen; c.fidx = fidx; c.plen = plen; c.pidx = pidx;
   c.full_cap = (LOOKAHEAD < c.maxpat) ? LOOKAHEAD : c.maxpat;
   c.ring.resize(c.W);
@@ -1933,6 +1970,7 @@ int tampn_ext_tail_bits(const uint8_t* data, int64_t n, int64_t t_in,
   c.avoid_divergence = true;  // planned mode: the model never diverges
   c.data = data; c.N = n;
   c.khat = khat; c.plan = plan; c.n_plan = n_plan;
+  c.dh = dh; c.M = (int64_t)khat[n];  // model-target searches (Committer::dh)
   c.full_cap = (LOOKAHEAD < c.maxpat) ? LOOKAHEAD : c.maxpat;
   c.ring.resize(c.W);
   if (dict) std::memcpy(c.ring.data(), dict, (size_t)c.W);

@@ -85,9 +85,13 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
     if pallas_tables:
         from ..ops.match_ext_pallas import ext_tables_pallas
 
-        l16, i16, lx, ix = ext_tables_pallas(
+        tabs = ext_tables_pallas(
             dh_u8, npos, dict_arr, window_bits=window, LEXT=maxpat,
-            T=1024, n_chunks=NP // 1024)
+            T=1024, n_chunks=NP // 1024, probe=lazy)
+        if lazy:
+            l16, i16, lx, ix, plen, pidx = tabs
+        else:
+            l16, i16, lx, ix = tabs
     else:
         from ..ops.match_ext_mxu import ext_tables_device
 
@@ -291,15 +295,14 @@ def encode_ext_device_commit(
 
         dh_u8 = pad([p[2] for p in prep], 0, np.uint8)
         dict_d = jnp.asarray(dict_arr.astype(np.int32))
-        # The band-space kernel unrolls W/128 band blocks and Mosaic does
-        # not reuse the unrolled blocks' temporaries (w=12 hit scoped-VMEM
-        # OOM: 28.6M vs the 16M/core limit; w=10 ~7M and w=11 compile+run
-        # verified on-chip, 51.5 ms/MB parity-exact) — so only the
-        # measured-safe windows use it and larger windows stay on the XLA
-        # formulation.  Lifting the cap needs the block loop as a
-        # lax.fori_loop (dynamic roll shifts) so buffers are reused.
-        use_pallas = (not lazy_matching and ext_pallas_available()
-                      and MP % 1024 == 0 and window <= 11)
+        # The band-space kernel covers the FULL window lattice and the
+        # probe (lazy) family since round 4: the band-block loop is a
+        # lax.fori_loop whose body reuses one VMEM scratch set (the
+        # round-3 Python-unrolled form OOM'd scoped VMEM from w=12 up),
+        # with only the two glue-stash blocks peeled.  Measured on-chip
+        # (8 x 1 MB): w10 32 ms/MB (35 with probe), w12 102, w15 752 —
+        # uniformly ~3x the XLA formulation at equal window.
+        use_pallas = ext_pallas_available() and MP % 1024 == 0
         # sparse chunk-count sideband (see _ext_device_stage_impl): pad
         # the pair lists to a pow2 bucket to bound recompiles
         nz = [np.nonzero(rc_b[i])[0].astype(np.int32) for i in range(S)]

@@ -1,10 +1,12 @@
 """Band-space Pallas TPU kernel for the extended match tables.
 
-Produces BOTH table families — cap-16 (basic-match candidates) and
-cap-``LEXT`` (the planned walk's one-shot extended search) — for S shards
-in one kernel, element-exact vs :mod:`tamp_tpu.ops.match_ext_mxu` (itself
-element-exact vs the NumPy oracles, which encode the reference search
-semantics: BrianPugh/tamp compressor.py:432-447 and the planned
+Produces the table families the extended pipeline consumes — cap-16
+(basic-match candidates), cap-``LEXT`` (the planned walk's one-shot
+extended search), and optionally the cap-15 *probe* family (lazy
+matching: target ``data[t+1:]`` against the ring state at ``t``) — for S
+shards in one kernel, element-exact vs :mod:`tamp_tpu.ops.match_ext_mxu`
+(itself element-exact vs the NumPy oracles, which encode the reference
+search semantics: BrianPugh/tamp compressor.py:432-447 and the planned
 committer's one-shot extended search).
 
 Why a second device formulation exists (measured, v5e, 8 x 1 MB shards):
@@ -18,11 +20,16 @@ is stored **diagonal-major** ("band space"):
 so a match run follows a ROW (its band is constant along the run) and
 every log-doubling round is a lane-only ``pltpu.roll`` + select — no
 (k, k) diagonal shifts, no relayouts.  Band space also removes the
-one-hot MXU matmul: row b of Eb is the byte stream sheared by b, built
-with two-level lane rolls (8 base shears of the segment row, then one
-roll per 8-row group).  Rows are processed in 128-band blocks — runs
-never leave their row, so only the final score max-reduce crosses
-blocks — keeping peak VMEM under ~4 MB (v5e VMEM is ~16 MB/core).
+one-hot MXU matmul: the 128 band rows of a block are the byte stream
+sheared by b, built from a per-block (1, R + 128) SLAB of C with
+two-level lane rolls (8 base shears, then one roll per 8-row group) —
+the shear cost is independent of W.  Blocks are processed by ONE
+``lax.fori_loop`` whose body reuses the same VMEM scratch (the round-3
+Python-unrolled form made Mosaic hold every block's temporaries live:
+scoped-VMEM OOM from window 12 up and W-linear compile cost); only the
+last two blocks are peeled so the glue-diagonal stash stays a static
+store.  Runs never leave their row, so only the final score max-reduce
+crosses blocks, carried as four (1, R) rows.
 
 Exactness notes:
 
@@ -37,13 +44,18 @@ Exactness notes:
   every packed score stays below 2^24 (LEXT*W + W < 2^23 at W = 2^15).
 
 The head-crossing glue diagonals (delta = 1..LEXT-1) reuse the top
-``_ND`` band rows for their candidate runs (stashed while the main
-blocks stream by); their post-head continuation runs come from a small
-(_ND, R) matrix built directly from the rolled data row.
+``_ND`` band rows for their candidate runs (stashed from the two peeled
+blocks); their post-head continuation runs come from a small (_ND, R)
+matrix built directly from the rolled data row.
 
-Probe (lazy-matching) tables are not implemented here; the extended
-pipeline routes ``lazy_matching=True`` through the XLA formulation.
-Element parity: tests/test_search_kernels.py::test_ext_pallas_tables.
+Probe (lazy-matching) family: the probe candidate at band b is the MAIN
+run at band b-1, lane r+1 (same source byte ``C[t + j]``, target moved
+one ahead) — one lane roll plus one sublane roll of the block's run
+matrix, with the previous block's last row carried across the seam; the
+write-head slot (j = 0) comes from the dd = 1 glue row and the probe
+glue zone (dd = 1..14) reuses the stash shifted by one band.  Element
+parity for all three families:
+tests/test_search_kernels.py::test_ext_pallas_tables_match_oracle.
 """
 
 from __future__ import annotations
@@ -80,12 +92,15 @@ def _runs(L, R: int, cap: int):
     return L
 
 
-def _kernel(C_ref, d_ref, o16l, o16i, oxl, oxi,
-            seg_buf, d_buf, a8, ebb, vst, gb, res, in_sem, out_sem,
-            *, window_bits: int, LEXT: int, T: int, R: int, LSEG: int,
-            n_chunks: int):
+def _kernel(C_ref, d_ref, *refs,
+            window_bits: int, LEXT: int, T: int, R: int, LSEG: int,
+            n_chunks: int, probe: bool, unroll: bool):
+    n_out = 6 if probe else 4
+    outs = refs[:n_out]
+    (seg_buf, d_buf, a8, ebb, vst, gb, res, in_sem, out_sem) = refs[n_out:]
     W = 1 << window_bits
     BLK = 128
+    RB = R + BLK  # slab width: bands [B0, B0+128) need C[t0+B0 .. +R+128)
     n_blk = W // BLK
     s = pl.program_id(0)
     i = pl.program_id(1)
@@ -117,26 +132,28 @@ def _kernel(C_ref, d_ref, o16l, o16i, oxl, oxi,
     for cp in in_copies(slot, s, i):
         cp.wait()
 
-    seg = seg_buf[slot]          # (1, LSEG) int32
     d = d_buf[slot]              # (1, R) int32
-
-    # ---- base shears ---------------------------------------------------
-    for j0 in range(8):
-        a8[j0 : j0 + 1, :] = pltpu.roll(seg, (LSEG - j0) % LSEG, 1)
-    a8v = a8[:, :]
     dbc = jnp.broadcast_to(d, (8, R))
 
-    # ---- main bands in 128-row blocks ---------------------------------
+    # base shears once per chunk: a8[j0][l] = C[t0 + l + j0] over the whole
+    # segment (narrow (1, LSEG) rolls are poor VPU shapes — don't repeat
+    # them per block)
+    seg = seg_buf[slot]          # (1, LSEG) int32
+    for j0 in range(8):
+        a8[j0: j0 + 1, :] = pltpu.roll(seg, (LSEG - j0) % LSEG, 1)
+
     ri_b = lax.broadcasted_iota(jnp.int32, (BLK, R), 1)
     bi_b = lax.broadcasted_iota(jnp.int32, (BLK, R), 0)
     neg1 = jnp.full((1, R), -1.0, _F)
-    s16_main = neg1
-    sx_main = neg1
-    for blk in range(n_blk):
+
+    # ---- one 128-band block: shear slab -> eq -> runs -> scores ----------
+    def block(blk, s16, sx, sp, prev):
+        """blk may be traced (fori_loop) or static (the two peeled blocks);
+        returns the updated carries plus this block's run matrix."""
+        slab8 = a8[:, pl.ds(blk * BLK, RB)]             # (8, RB)
         for a in range(BLK // 8):
-            sh = blk * BLK + 8 * a
-            g = pltpu.roll(a8v, (LSEG - sh) % LSEG, 1)
-            ebb[8 * a : 8 * a + 8, :] = (g[:, :R] == dbc).astype(_F)
+            g = pltpu.roll(slab8, (RB - 8 * a) % RB, 1)
+            ebb[8 * a: 8 * a + 8, :] = (g[:, :R] == dbc).astype(_F)
         lrb = _runs(ebb[:, :], R, LEXT)       # (BLK, R) f32
 
         band = bi_b + blk * BLK
@@ -144,29 +161,59 @@ def _kernel(C_ref, d_ref, o16l, o16i, oxl, oxi,
         capq = (W - x).astype(_F)
         slot_term = capq - 1.0
 
-        def mscore(cap_pat, acc):
-            u = jnp.minimum(jnp.minimum(lrb, float(cap_pat)), capq)
-            sc = jnp.where(band <= W - cap_pat, u * W + slot_term, -1.0)
+        def mscore(u_rows, cap_pat, acc, bmax):
+            u = jnp.minimum(jnp.minimum(u_rows, float(cap_pat)), capq)
+            sc = jnp.where(band <= bmax, u * W + slot_term, -1.0)
             return jnp.maximum(acc, jnp.max(sc, axis=0, keepdims=True))
 
-        s16_main = mscore(16, s16_main)
-        sx_main = mscore(LEXT, sx_main)
+        s16 = mscore(lrb, 16, s16, W - 16)
+        sx = mscore(lrb, LEXT, sx, W - LEXT)
+        if probe:
+            # probe run at (band b, lane r) = main run at (b-1, r+1); the
+            # block's row 0 takes the previous block's carried last row
+            sh = pltpu.roll(lrb, R - 1, 1)              # lane r -> r+1 value
+            pm = pltpu.roll(sh, 1, 0)                   # band b -> b-1's row
+            pm = jnp.where(bi_b == 0, jnp.broadcast_to(prev, (BLK, R)), pm)
+            sp = mscore(pm, 15, sp, W - 15)
+            prev = sh[BLK - 1: BLK, :]
+        return s16, sx, sp, prev, lrb
 
-        # stash the glue-candidate runs (bands >= W - _ND)
+    def body(blk, carry):
+        s16, sx, sp, prev = carry
+        s16, sx, sp, prev, _ = block(blk, s16, sx, sp, prev)
+        return s16, sx, sp, prev
+
+    # probe init: a zero row scores 0*W + slot_term at band 0, exactly what
+    # the j = 0 special (below) also scores when its run is 0 — absorbed.
+    carry = (neg1, neg1, neg1, jnp.zeros((1, R), _F))
+    if unroll:
+        # straight-line blocks software-pipeline markedly better in Mosaic
+        # (measured ~4x at w=10); used for small windows where the unrolled
+        # graph stays cheap to compile
+        for blk in range(n_blk - 2):
+            carry = body(blk, carry)
+    else:
+        carry = lax.fori_loop(0, n_blk - 2, body, carry)
+
+    # last two blocks peeled: they own the glue-candidate stash
+    # (bands >= W - _ND, _ND = 136 <= 2 * BLK), which must be a static store
+    s16_m, sx_m, sp_m, prev = carry
+    for blk in (n_blk - 2, n_blk - 1):
+        s16_m, sx_m, sp_m, prev, lrb = block(blk, s16_m, sx_m, sp_m, prev)
         lo = max(blk * BLK, W - _ND)
         hi = (blk + 1) * BLK
         if hi > lo:
-            vst[lo - (W - _ND) : hi - (W - _ND), :] = (
-                lrb[lo - blk * BLK : hi - blk * BLK, :])
+            vst[lo - (W - _ND): hi - (W - _ND), :] = (
+                lrb[lo - blk * BLK: hi - blk * BLK, :])
 
     # ---- glue diagonals delta = 1 .. LEXT-1 ---------------------------
     # vst row i: candidate run on band W - dd, dd = _ND - i.
     # gb row i: continuation bits (d[r + dd + j] == C[t0 + r + j]).
     segR = seg[:, :R]
     for irow in range(_ND):
-        dd = _ND - irow
-        d_sh = pltpu.roll(d, (R - dd) % R, 1)
-        gb[irow : irow + 1, :] = (d_sh == segR).astype(_F)
+        dd_s = _ND - irow
+        d_sh = pltpu.roll(d, (R - dd_s) % R, 1)
+        gb[irow: irow + 1, :] = (d_sh == segR).astype(_F)
     gv = _runs(gb[:, :], R, LEXT).astype(jnp.int32)
     v = vst[:, :].astype(jnp.int32)
 
@@ -177,26 +224,40 @@ def _kernel(C_ref, d_ref, o16l, o16i, oxl, oxi,
     x_cross = tau - dd
     x_old = x_cross + W
 
-    def gscore(cap_pat, dd_max):
-        glued = dd + jnp.minimum(gv, cap_pat - dd)
+    def gscore(vv, gg, cap_pat, dd_max):
+        glued = dd + jnp.minimum(gg, cap_pat - dd)
         val_cross = jnp.minimum(
-            jnp.where(v >= dd, glued, v), W - x_cross)
-        val_old = jnp.minimum(v, W - x_old)
+            jnp.where(vv >= dd, glued, vv), W - x_cross)
+        val_old = jnp.minimum(vv, W - x_old)
         val = jnp.minimum(jnp.where(tau_ge, val_cross, val_old), cap_pat)
         xx = jnp.where(tau_ge, x_cross, x_old)
         ok = (dd >= 1) & (dd <= dd_max)
         sc = jnp.where(ok, val * W + (W - 1 - xx), -1)
         return jnp.max(sc, axis=0, keepdims=True)  # (1, R) int32
 
-    s16 = jnp.maximum(s16_main.astype(jnp.int32), gscore(16, 15))
-    sx = jnp.maximum(sx_main.astype(jnp.int32), gscore(LEXT, LEXT - 1))
+    s16 = jnp.maximum(s16_m.astype(jnp.int32), gscore(v, gv, 16, 15))
+    sx = jnp.maximum(sx_m.astype(jnp.int32), gscore(v, gv, LEXT, LEXT - 1))
+    if probe:
+        # probe glue: candidate run = main band W-dd-1 at lane r+1 (the
+        # stash rolled one band down, one lane left); continuation uses the
+        # dd+1 glue row.  Garbage rolled into row 0 (dd = _ND) is masked.
+        vp = pltpu.roll(pltpu.roll(vst[:, :], R - 1, 1), 1, 0)
+        vp = vp.astype(jnp.int32)
+        gvp = pltpu.roll(gv, 1, 0)
+        spg = gscore(vp, gvp, 15, 14)
+        # j = 0: the write-head slot (x = tau, source C[t]): run = dd=1 glue
+        tau1 = (t0 + lax.broadcasted_iota(jnp.int32, (1, R), 1)) & (W - 1)
+        g1 = gv[_ND - 1: _ND, :]
+        val0 = jnp.minimum(jnp.minimum(g1, 15), W - tau1)
+        sp = jnp.maximum(sp_m.astype(jnp.int32), spg)
+        sp = jnp.maximum(sp, val0 * W + (W - 1 - tau1))
 
     # ---- finish & stream out ------------------------------------------
     @pl.when(i > 0)
     def _():
-        for k in range(4):
+        for k in range(n_out):
             pltpu.make_async_copy(
-                res.at[k], _out_at(o16l, o16i, oxl, oxi, k, s, (i - 1) * T, T),
+                res.at[k], outs[k].at[s, :, pl.ds((i - 1) * T, T)],
                 out_sem.at[k]).wait()
 
     wb = window_bits
@@ -204,37 +265,37 @@ def _kernel(C_ref, d_ref, o16l, o16i, oxl, oxi,
     res[1] = ((W - 1) - (s16 & (W - 1)))[:, :T]
     res[2] = (sx >> wb)[:, :T]
     res[3] = ((W - 1) - (sx & (W - 1)))[:, :T]
-    for k in range(4):
+    if probe:
+        res[4] = (sp >> wb)[:, :T]
+        res[5] = ((W - 1) - (sp & (W - 1)))[:, :T]
+    for k in range(n_out):
         pltpu.make_async_copy(
-            res.at[k], _out_at(o16l, o16i, oxl, oxi, k, s, t0, T),
+            res.at[k], outs[k].at[s, :, pl.ds(t0, T)],
             out_sem.at[k]).start()
 
     @pl.when(i == n_chunks - 1)
     def _():
-        for k in range(4):
+        for k in range(n_out):
             pltpu.make_async_copy(
-                res.at[k], _out_at(o16l, o16i, oxl, oxi, k, s, t0, T),
+                res.at[k], outs[k].at[s, :, pl.ds(t0, T)],
                 out_sem.at[k]).wait()
-
-
-def _out_at(o16l, o16i, oxl, oxi, k, s, t, T):
-    ref = (o16l, o16i, oxl, oxi)[k]
-    return ref.at[s, :, pl.ds(t, T)]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_bits", "LEXT", "T", "n_chunks", "interpret"))
+    static_argnames=("window_bits", "LEXT", "T", "n_chunks", "probe",
+                     "unroll", "interpret"))
 def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
-                      T: int = 1024, n_chunks: int = 1,
-                      interpret: bool = False):
-    """Both match-table families for S shards (same contract as
-    ops.match_ext_mxu.ext_tables_device, probe unsupported).
+                      T: int = 1024, n_chunks: int = 1, probe: bool = False,
+                      unroll: bool | None = None, interpret: bool = False):
+    """Match-table families for S shards (same contract as
+    ops.match_ext_mxu.ext_tables_device).
 
     ``dh_b``: (S, MP) uint8 model-history bytes (MP = n_chunks * T);
     ``npos``: (S,) int32 valid lengths; ``dict_arr``: (W,) int32.
-    Returns (len16, idx16, lenx, idxx), each (S, MP) int32; positions
-    >= npos hold garbage (the planner masks by npos).
+    Returns (len16, idx16, lenx, idxx[, probe_len, probe_idx]), each
+    (S, MP) int32; positions >= npos hold garbage (the planner masks by
+    npos).
     """
     W = 1 << window_bits
     if W < 256 or T % 128:
@@ -243,6 +304,7 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     R = _round_up(T + LEXT + 129, 128)
     LSEG = _round_up(R + W, 128)
     S = dh_b.shape[0]
+    n_out = 6 if probe else 4
 
     ci = jnp.arange(W + MP + LSEG, dtype=jnp.int32)
     di = jnp.arange(MP + R, dtype=jnp.int32)
@@ -258,9 +320,14 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
 
     C2, d2 = jax.vmap(build)(dh_b, npos)
 
+    if unroll is None:
+        # straight-line blocks pipeline slightly better (w10: 31.1 vs 32.4
+        # ms/MB) but Mosaic keeps every unrolled block's temporaries live
+        # (scoped-VMEM OOM from w=11 up in this structure)
+        unroll = window_bits <= 10
     kern = functools.partial(
         _kernel, window_bits=window_bits, LEXT=LEXT, T=T, R=R, LSEG=LSEG,
-        n_chunks=n_chunks)
+        n_chunks=n_chunks, probe=probe, unroll=unroll)
     outs = pl.pallas_call(
         kern,
         grid=(S, n_chunks),
@@ -268,9 +335,10 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)],
         out_shape=[
-            jax.ShapeDtypeStruct((S, 1, MP), jnp.int32) for _ in range(4)
+            jax.ShapeDtypeStruct((S, 1, MP), jnp.int32)
+            for _ in range(n_out)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 1, LSEG), jnp.int32),
@@ -279,9 +347,9 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
             pltpu.VMEM((128, R), _F),
             pltpu.VMEM((_ND, R), _F),
             pltpu.VMEM((_ND, R), _F),
-            pltpu.VMEM((4, 1, T), jnp.int32),
+            pltpu.VMEM((n_out, 1, T), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((n_out,)),
         ],
         interpret=interpret,
     )(C2.reshape(S, 1, -1), d2.reshape(S, 1, -1))
@@ -289,7 +357,8 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
 
 
 def ext_tables_pallas_host(data, dictionary, window_bits: int, maxpat: int,
-                           T: int = 128, interpret: bool | None = None):
+                           T: int = 128, probe: bool = False,
+                           interpret: bool | None = None):
     """Host convenience wrapper (pads one shard, pulls results) — used by
     the oracle-parity tests; production use keeps the outputs on device."""
     import numpy as np
@@ -307,7 +376,7 @@ def ext_tables_pallas_host(data, dictionary, window_bits: int, maxpat: int,
         jnp.asarray(np.ascontiguousarray(dictionary, np.uint8)
                     .astype(np.int32)),
         window_bits=window_bits, LEXT=maxpat, T=T, n_chunks=n_chunks,
-        interpret=interpret)
+        probe=probe, interpret=interpret)
     return tuple(np.asarray(o)[0, :N] for o in outs)
 
 

@@ -98,10 +98,12 @@ def test_ext_device_tables_match_oracle(w, lit, rng):
     np.testing.assert_array_equal(pi, tp.probe_idx)
 
 
-@pytest.mark.parametrize("w,lit", [(8, 8), (10, 8), (11, 5)])
+@pytest.mark.parametrize("w,lit", [(8, 8), (10, 8), (11, 5), (12, 8)])
 def test_ext_pallas_tables_match_oracle(w, lit, rng):
     # The band-space Pallas formulation (VMEM-resident, the TPU production
-    # path for the extended pipeline) against the same oracles.
+    # path for the extended pipeline) against the same oracles — all three
+    # families incl. the probe (lazy) one; w=12 runs the fori_loop band
+    # path, the smaller windows the unrolled one.
     from tamp_tpu.constants import compute_min_pattern_size
     from tamp_tpu.engine.search_np import match_tables_ext
     from tamp_tpu.ops.match_ext_pallas import ext_tables_pallas_host
@@ -114,13 +116,16 @@ def test_ext_pallas_tables_match_oracle(w, lit, rng):
     data = (text + bytes([7]) * 150
             + bytes(rng.getrandbits(8) for _ in range(n - len(text) - 150)))
     arr = np.frombuffer(data, dtype=np.uint8)
-    t16 = match_tables(arr, d, w, compute_probe=False)
+    t16 = match_tables(arr, d, w, compute_probe=True)
     lxo, ixo = match_tables_ext(arr, d, w, maxpat)
-    l16, i16, lx, ix = ext_tables_pallas_host(arr, d, w, maxpat)
+    l16, i16, lx, ix, pl_, pi_ = ext_tables_pallas_host(
+        arr, d, w, maxpat, probe=True)
     np.testing.assert_array_equal(l16, t16.len16.astype(np.int32))
     np.testing.assert_array_equal(i16, t16.idx16)
     np.testing.assert_array_equal(lx, lxo)
     np.testing.assert_array_equal(ix, ixo)
+    np.testing.assert_array_equal(pl_, t16.probe_len.astype(np.int32))
+    np.testing.assert_array_equal(pi_, t16.probe_idx)
 
 
 def test_ext_pallas_ring_wrap_at_production_window(rng):
