@@ -81,7 +81,7 @@ def _load():
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.tampn_compress.argtypes = [
             u8p, i64, u8p, i32p, u8p, i32p, u8p,
-            cint, cint, cint, cint, cint, cint, cint,
+            cint, cint, cint, cint, cint, cint, cint, cint,
             u32p, i64p, cint, u8p, i64, i64p,
         ]
         lib.tampn_compress.restype = cint
@@ -177,6 +177,7 @@ def native_compress(
     khat=None,
     plan=None,
     force_planned: bool = False,
+    exact_tables: bool = False,
 ) -> bytes:
     """One-shot compression via the native committer.
 
@@ -188,7 +189,12 @@ def native_compress(
     ``plan`` is empty — the tokenization the device planner reproduces
     (ops/plan_ext.py).  Without it an empty plan runs the reference-style
     path (byte parity with the reference encoder when no runs are planned).
-    """
+
+    ``exact_tables`` (table mode, extended): post-divergence the table
+    candidate only seeds the exact chain search, making the output
+    byte-equal to the reference greedy encoder at every config — the
+    reference-parity mode of the device-search + native-commit pipeline
+    (engine.encode_extended ``reference_parity``)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
@@ -243,6 +249,7 @@ def native_compress(
         _u8p(arr), n, _u8p(flen), _i32p(fidx), _u8p(plen), _i32p(pidx),
         _u8p(dict_arr), window, literal, int(extended), int(lazy_matching),
         int(write_header), int(dictionary is not None), int(avoid_divergence),
+        int(exact_tables),
         khat_p, plan_p, n_plan,
         _u8p(out), cap, ctypes.byref(out_len),
     )

@@ -158,6 +158,15 @@ struct Committer {
   // write: costs ~one extra token per ring cycle but keeps the true window
   // identical to the model the match tables were computed against.
   bool avoid_divergence = false;
+  // Byte-parity table mode (reference-greedy): post-divergence the table
+  // candidate only SEEDS the exact chain search instead of being trusted —
+  // deletions shift ring content, creating adjacencies the pure-history
+  // tables cannot see (a new longer match, or an equal-length match at a
+  // lower slot), so trusting a validated candidate or a no-match entry can
+  // flip a token vs the reference encoder.  With this flag the output is
+  // byte-equal to the reference at every config (the seed only sharpens
+  // quick-rejection; chain_search still walks every candidate).
+  bool exact_tables = false;
   // input
   const uint8_t* data; int64_t N;
   // tables (may be null -> standalone exact mode)
@@ -541,6 +550,12 @@ struct Committer {
       int len = flen[t]; int x = fidx[t];
       if (len > cap) len = cap;
       if (!diverged) return {x, len};
+      if (exact_tables) {
+        int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+        int slot = (len >= minp) ? validate(t, x, len) : -1;
+        if (slot >= 0) return chain_search(data + t, tl, cap, 0, len, slot);
+        return chain_search(data + t, tl, cap, 0);
+      }
       if (len < minp) return {x, len};  // trust "no match" (coverage loss only)
       int slot = validate(t, x, len);
       if (slot >= 0) return {slot, len};
@@ -568,6 +583,13 @@ struct Committer {
       int len = plen[t]; int x = pidx[t];
       if (len > cap) len = cap;
       if (!diverged) return {x, len};
+      if (exact_tables) {
+        int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
+        int slot = (len >= minp) ? validate(t, x, len) : -1;
+        if (slot >= 0)
+          return chain_search(data + t + 1, tl, cap, 0, len, slot);
+        return chain_search(data + t + 1, tl, cap, 0);
+      }
       if (len >= minp) {
         int slot = validate(t, x, len);  // probe slots share the t-basis
         if (slot >= 0) return {slot, len};
@@ -1066,7 +1088,7 @@ int tampn_compress(const uint8_t* data, int64_t n,
                    const uint8_t* plen, const int32_t* pidx,
                    const uint8_t* dict, int window, int literal,
                    int extended, int lazy, int write_header, int custom_dict,
-                   int avoid_divergence,
+                   int avoid_divergence, int exact_tables,
                    const uint32_t* khat, const int64_t* plan, int n_plan,
                    uint8_t* out, int64_t out_cap, int64_t* out_len) {
   Committer c;
@@ -1075,6 +1097,7 @@ int tampn_compress(const uint8_t* data, int64_t n,
   c.maxpat = extended ? c.minp + 131 : c.minp + 13;
   c.extended = extended != 0; c.lazy = lazy != 0;
   c.avoid_divergence = avoid_divergence != 0 && extended != 0;
+  c.exact_tables = exact_tables != 0;
   c.data = data; c.N = n;
   if (extended) { c.khat = khat; c.plan = plan; c.n_plan = n_plan; }
   if (c.plan && khat) {

@@ -33,7 +33,7 @@ import numpy as np
 from ..constants import compute_min_pattern_size
 from .plan import RLE_MAX
 
-__all__ = ["encode_ext_device_commit"]
+__all__ = ["encode_ext_device_commit", "encode_ext_device_greedy"]
 
 
 def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
@@ -121,6 +121,158 @@ def _ext_device_stage():
         _ext_device_stage_impl,
         static_argnames=("window", "literal", "dlast", "lazy",
                          "pallas_tables", "sparse_rc", "NP", "interpret"))
+
+
+def _greedy_tables_stage():
+    import jax
+
+    def impl(dh_u8, npos, dict_arr, *, window: int, lazy: bool, NP: int,
+             narrow: bool, T: int = 1024, interpret: bool = False):
+        """Cap-16 (+probe) tables on the RAW input history, bit-packed for
+        the d2h pull: len16 | idx16 << 5 (and plen | pidx << 4), int16 when
+        window <= 10 (15/14 bits suffice), int32 otherwise."""
+        import jax.numpy as jnp
+
+        from ..ops.match_ext_pallas import ext_tables_pallas
+
+        tabs = ext_tables_pallas(
+            dh_u8, npos, dict_arr, window_bits=window, LEXT=16,
+            T=T, n_chunks=NP // T, probe=lazy, interpret=interpret)
+        dt = jnp.int16 if narrow else jnp.int32
+        out = [(tabs[0] | (tabs[1] << 5)).astype(dt)]
+        if lazy:
+            out.append((tabs[4] | (tabs[5] << 4)).astype(dt))
+        return tuple(out)
+
+    return jax.jit(impl, static_argnames=("window", "lazy", "NP", "narrow",
+                                          "T", "interpret"))
+
+
+_greedy_tables_stage = functools.lru_cache(maxsize=1)(_greedy_tables_stage)
+
+
+def encode_ext_device_greedy(
+    shards,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    lazy_matching: bool = False,
+    dictionary: bytes | None = None,
+    device_tables: bool | None = None,
+    interpret: bool = False,
+) -> list[bytes]:
+    """REFERENCE-GREEDY extended encode with the match search on the TPU.
+
+    Hybrid pipeline: the band-space Pallas kernel computes the cap-16
+    (+probe) tables against the raw input history — the O(N*W) work — and
+    the native committer runs the reference's greedy walk over them in
+    exact-table mode (post-divergence the table candidate seeds the exact
+    chain search), so the output is **byte-identical to the reference
+    encoder** at equal settings, growth loop, mid-match relocation, lazy
+    cache semantics and all (reference anchor:
+    BrianPugh/tamp tamp/compressor.py:281-447, compressor.c:437-660).
+
+    This is the byte-parity complement of :func:`encode_ext_device_commit`
+    (fully on-chip, planned tokenization): the sequential walk is
+    inherently serial and stays on the host, the search does not.  The
+    packed table pull costs 2 B/byte at window <= 10 (4 B/byte above) —
+    negligible over PCIe, the e2e bound through this environment's
+    ~30 MB/s tunnel.
+    """
+    import numpy as np
+
+    from .. import _native
+    from ..dictionary import dictionary_array
+    from ..engine.search_np import MatchTables
+
+    if not _native.available():
+        raise RuntimeError(
+            f"greedy device encode needs the native engine "
+            f"({_native.load_error()})")
+    W = 1 << window
+    compute_min_pattern_size(window, literal)
+    if dictionary is not None:
+        dict_arr = np.frombuffer(bytes(dictionary), np.uint8)
+        if dict_arr.shape[0] != W:
+            raise ValueError("Dictionary-window size mismatch.")
+    else:
+        dict_arr = dictionary_array(W, literal=literal)
+    dict_bytes = dict_arr.tobytes()
+
+    datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in shards]
+    S = len(datas)
+    if S == 0:
+        return []
+    if device_tables is None:
+        from ..ops.match_ext_pallas import ext_pallas_available
+
+        device_tables = ext_pallas_available()
+
+    packed = [None] * S
+    if device_tables:
+        import jax.numpy as jnp
+
+        T = 128 if interpret else 1024
+        maxN = max(d.shape[0] for d in datas)
+        MP = 1 << max(T.bit_length() - 1,
+                      (max(maxN, 1) - 1).bit_length())
+        npos = np.asarray([d.shape[0] for d in datas], np.int32)
+        dh_u8 = np.zeros((S, MP), np.uint8)
+        for i, d in enumerate(datas):
+            dh_u8[i, : d.shape[0]] = d
+        narrow = window <= 10
+        stage = _greedy_tables_stage()
+        dict_d = jnp.asarray(dict_arr.astype(np.int32))
+        groups = [list(range(S))]
+        if S >= 4:
+            h = (S + 1) // 2
+            groups = [list(range(h)), list(range(h, S))]
+        handles = [
+            stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
+                  window=window, lazy=lazy_matching, NP=MP, narrow=narrow,
+                  T=T, interpret=interpret)
+            for g in groups
+        ]
+        for g, h in zip(groups, handles):
+            planes = [np.asarray(p).astype(np.int32) for p in h]
+            for j, i in enumerate(g):
+                packed[i] = [p[j] for p in planes]
+
+    def commit(i: int) -> bytes:
+        data = datas[i]
+        n = data.shape[0]
+        if packed[i] is not None:
+            main = packed[i][0][:n]
+            flen = (main & 31).astype(np.uint8)
+            fidx = (main >> 5).astype(np.int32)
+            if lazy_matching:
+                pr = packed[i][1][:n]
+                pl_ = (pr & 15).astype(np.uint8)
+                pi_ = (pr >> 4).astype(np.int32)
+            else:
+                pl_ = pi_ = None
+        elif lazy_matching:
+            flen, fidx, pl_, pi_ = _native.native_v1_tables(
+                data, window, literal, 16, dictionary=dict_bytes, probe=True)
+        else:
+            flen, fidx = _native.native_v1_tables(
+                data, window, literal, 16, dictionary=dict_bytes)
+            pl_ = pi_ = None
+        tabs = MatchTables(flen, fidx, flen, fidx, pl_, pi_)
+        return _native.native_compress(
+            data.tobytes(), window=window, literal=literal, extended=True,
+            lazy_matching=lazy_matching,
+            dictionary=None if dictionary is None else dict_bytes,
+            tables=tabs, exact_tables=True)
+
+    if S > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os as _os
+
+        with ThreadPoolExecutor(max_workers=_os.cpu_count() or 4) as ex:
+            return list(ex.map(commit, range(S)))
+    return [commit(0)]
 
 
 def _chunk_counts(plans, khat, M: int):

@@ -82,7 +82,7 @@ def main() -> int:
 
     rng = random.Random(seed)
     t_end = time.time() + duration
-    trials = fails = wf_trials = dev_trials = 0
+    trials = fails = wf_trials = dev_trials = gd_trials = 0
 
     while time.time() < t_end:
         trials += 1
@@ -178,6 +178,20 @@ def main() -> int:
                 assert bytes(ref.decompress(bytearray(got))) == data, \
                     "planned rt via reference"
 
+            # greedy-parity device-mode leg (round 4): table-assisted
+            # exact commit (the hybrid pipeline's host half) must stay
+            # byte-identical to the reference past window divergence —
+            # incl. lazy cache semantics and custom dictionaries
+            if ext and n <= 12000 and rng.random() < 0.15:
+                from tamp_tpu.engine.pipeline_ext import (
+                    encode_ext_device_greedy)
+
+                gd_trials += 1
+                got = encode_ext_device_greedy(
+                    [data], window=w, literal=lit, lazy_matching=lazy,
+                    dictionary=dict_, device_tables=False)[0]
+                assert got == theirs, "greedy device parity"
+
             if n <= 8192 and rng.random() < 0.25:
                 # optimal parse: decoded exactly by the reference package;
                 # the v1 DP is additionally never larger than greedy
@@ -222,7 +236,8 @@ def main() -> int:
         if trials % 200 == 0:
             print(f"{trials} trials, {fails} fails", flush=True)
     print(f"DONE: {trials} trials ({wf_trials} wavefront, "
-          f"{dev_trials} device-planned), {fails} failures",
+          f"{dev_trials} device-planned, {gd_trials} greedy-device), "
+          f"{fails} failures",
           flush=True)
     return 1 if fails else 0
 
