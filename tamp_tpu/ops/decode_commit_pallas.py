@@ -89,23 +89,36 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
     base = i * tile
     OMASK = 2 * OUT_CHUNK - 1  # flat double-chunk output buffer
 
+    def wait_flush():
+        # waits the one outstanding flush DMA (both halves are the same
+        # size, so any same-shape copy object serves as the wait handle)
+        pltpu.make_async_copy(
+            obuf.at[:, 0:OUT_CHUNK],
+            out_ref.at[s, :, pl.ds(0, OUT_CHUNK)], dma_sem).wait()
+
     def flush_chunk(ch):
-        # the two chunk halves are STATIC slices of one buffer (Mosaic
-        # cannot DMA from a dynamic SMEM offset), selected by parity
+        # ASYNC flush: wait the previous chunk's DMA (its half is the one
+        # the walk writes next), then start this one and keep committing
+        # into the other half — the old synchronous wait blocked the
+        # scalar core ~2 us per 512-byte chunk.  Invariant: at most one
+        # flush in flight; the final wait is at the last grid step.
+        # The two chunk halves are STATIC slices of one buffer (Mosaic
+        # cannot DMA from a dynamic SMEM offset), selected by parity.
+        @pl.when(ch > 0)
+        def _():
+            wait_flush()
+
         dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
 
         @pl.when(ch % 2 == 0)
         def _():
-            cp = pltpu.make_async_copy(obuf.at[:, 0:OUT_CHUNK], dst, dma_sem)
-            cp.start()
-            cp.wait()
+            pltpu.make_async_copy(
+                obuf.at[:, 0:OUT_CHUNK], dst, dma_sem).start()
 
         @pl.when(ch % 2 == 1)
         def _():
-            cp = pltpu.make_async_copy(
-                obuf.at[:, OUT_CHUNK:2 * OUT_CHUNK], dst, dma_sem)
-            cp.start()
-            cp.wait()
+            pltpu.make_async_copy(
+                obuf.at[:, OUT_CHUNK:2 * OUT_CHUNK], dst, dma_sem).start()
 
     def load_ring(src_ref):
         # scalar copy (SMEM -> SMEM); a DMA into SMEM scratch doesn't lower
@@ -210,7 +223,11 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             (idx < pos + wr) & (pos < idx + cnt))
 
         @pl.when(emit & is_m & ~ov & ~wrapped)
-        def _():  # direct copy, no wrap: 3 plain SMEM ops per byte
+        def _():  # direct copy, no wrap: 3 plain SMEM ops per byte.
+            # (Both a predicated 4x unroll and a true pair unroll measured
+            # slower/flat — the scalar core is SMEM-port-bound here, and at
+            # mean-3.6-byte matches the unroll's trip-count/tail arithmetic
+            # eats the saved branches.)
             def m_both(j, _):
                 b = ring[idx + j]
                 obuf[0, (out_pos + j) & OMASK] = b
@@ -289,9 +306,16 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
         # flush the trailing partial chunk (padded region; masked by length)
-        @pl.when(out_pos > flushed * OUT_CHUNK)
+        part = out_pos > flushed * OUT_CHUNK
+
+        @pl.when(part)
         def _():
             flush_chunk(flushed)
+
+        # complete the one outstanding flush before the kernel returns
+        @pl.when(part | (flushed > 0))
+        def _():
+            wait_flush()
 
     st[_C] = c
     st[_OUT] = out_pos
