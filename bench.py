@@ -187,6 +187,18 @@ if "ext_encode" in stages:
     except Exception as e:
         result["ext_encode_error"] = repr(e)[:120]
     emit()
+# compute-only kernel figures (scalar-pull sync, transfers excluded):
+# tunnel weather moves the e2e rates 20-40pct between rounds, so these are
+# the keys that make KERNEL regressions visible across BENCH_r*.json
+if "compute" in stages:
+    try:
+        from tools.commit_kernel_bench import measure
+        r = measure(2.0, 2)
+        result["decode_commit_compute_ms_mb"] = r["decode_commit_ms_per_mb"]
+        result["encode_commit_compute_ms_mb"] = r["encode_commit_ms_per_mb"]
+    except Exception as e:
+        result["compute_error"] = repr(e)[:120]
+    emit()
 """.format(root=os.path.dirname(os.path.abspath(__file__)))
 
     import queue
@@ -254,9 +266,10 @@ if "ext_encode" in stages:
         "decode": ("container_decode_mb_s", "container_decode_error"),
         "v1_encode": ("v1_encode_mb_s", "v1_encode_error"),
         "ext_encode": ("ext_encode_mb_s", "ext_encode_error"),
+        "compute": ("decode_commit_compute_ms_mb", "compute_error"),
     }
     device = {}
-    remaining = ["decode", "v1_encode", "ext_encode"]
+    remaining = ["decode", "v1_encode", "ext_encode", "compute"]
     overall_deadline = time.time() + 1020
     cold_retry = 1
     last_err = ""

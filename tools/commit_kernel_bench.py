@@ -29,6 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    measure(mb, reps, scale="--scale" in sys.argv, verbose=True)
+
+
+def measure(mb: float, reps: int = 3, scale: bool = False,
+            verbose: bool = False) -> dict:
+    """Compute-only ms/MB for the decode (parse+commit) and v1 encode
+    commit kernels; importable (bench.py's device probe emits these as the
+    ``*_compute_ms_mb`` keys so tunnel weather cannot mask kernel
+    regressions across rounds)."""
     n = int(mb * (1 << 20))
 
     import jax
@@ -71,7 +80,8 @@ def main() -> None:
     best = min(_time(dec) for _ in range(reps))
     out["decode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
     out["decode_commit_mb_s"] = round(mb / best, 2)
-    print(json.dumps(out), flush=True)  # partial, in case encode fails
+    if verbose:
+        print(json.dumps(out), flush=True)  # partial, in case encode fails
 
     # --- v1 encode commit kernel (tables from the NumPy oracle) ---
     from tamp_tpu.engine.encode import model_history
@@ -102,7 +112,7 @@ def main() -> None:
     out["encode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
     out["encode_commit_mb_s"] = round(mb / best, 2)
 
-    if "--scale" in sys.argv:
+    if scale:
         # Same total bytes as 1 stream vs 8 batched streams in ONE call.
         sub = n // 8
         payloads = []
@@ -127,7 +137,9 @@ def main() -> None:
         out["scale_s8_ms"] = round(t8 * 1e3, 1)
         out["scale_s8_vs_s1_aggregate"] = round(8 * t1 / t8, 2)
 
-    print(json.dumps(out))
+    if verbose:
+        print(json.dumps(out))
+    return out
 
 
 def _time(fn) -> float:
