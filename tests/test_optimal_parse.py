@@ -154,3 +154,75 @@ def test_cli_optimal(tmp_path):
     assert back.read_bytes() == data
     greedy = encode_v1(data, window=10)
     assert len(out.read_bytes()) <= len(greedy)
+
+
+def test_device_optimal_v1_pipeline_byte_parity(rng):
+    """The fully on-chip optimal v1 pipeline (Pallas search -> blocked
+    min-plus DP -> fields -> commit kernel, interpret on CPU) must be
+    byte-identical to encode_v1(parse="optimal") — identical DP tie-breaks
+    (literal first, ascending size, strictly-less) and identical emission —
+    and round-trip through the native decoder."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "tests")
+    from test_encode_ext_device import _gen
+
+    from tamp_tpu import _native
+    from tamp_tpu.engine.pipeline import encode_v1_device_optimal
+
+    r = np.random.default_rng(13)
+    for w, lit in ((8, 8), (10, 8), (12, 6)):
+        lmask = (1 << lit) - 1
+        shards = [_gen(r, k, int(r.integers(100, 2500)), lmask)
+                  for k in range(4)] + [b"", bytes([2]) * 1500]
+        outs = encode_v1_device_optimal(shards, window=w, literal=lit,
+                                        interpret=True)
+        for s, o in zip(shards, outs):
+            want = encode_v1(s, window=w, literal=lit, parse="optimal")
+            assert o == want, (w, lit, len(s))
+            if _native.available():
+                assert bytes(_native.native_decompress(o)) == s
+
+
+def test_device_optimal_dp_matches_native_choice(rng):
+    """The blocked min-plus DP alone (ops/opt_parse) against the native
+    DP's token chain, across block-boundary geometry (sizes straddling the
+    B=1024 blocks and the K=16 basis window)."""
+    import numpy as np
+
+    from tamp_tpu import _native
+    from tamp_tpu.dictionary import dictionary_array
+    from tamp_tpu.ops.opt_parse import opt_v1_choice_device
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(29)
+    w, lit = 10, 8
+    d = dictionary_array(1 << w, literal=8)
+    for n in (1, 15, 16, 17, 1023, 1024, 1025, 2048 + 17, 5000):
+        data = bytes(r.choice([97, 98, 99, 32]) for _ in range(n))
+        arr = np.frombuffer(data, np.uint8)
+        flen, fidx = _native.native_v1_tables(arr, w, lit, 16,
+                                              dictionary=d.tobytes())
+        sizes = _native.native_opt_v1_plan(arr, flen, fidx, w, lit)
+        NP = 1 << max(10, (n - 1).bit_length())
+        fl = np.zeros((1, NP), np.int32)
+        fl[0, :n] = flen
+        db = np.zeros((1, NP), np.uint8)
+        db[0, :n] = arr
+        ch, _ = opt_v1_choice_device(
+            jnp.asarray(fl), jnp.asarray(db),
+            jnp.asarray(np.asarray([n], np.int32)),
+            window=w, literal=lit, NP=NP)
+        ch = np.asarray(ch)[0]
+        got, t = [], 0
+        while t < n:
+            got.append(int(ch[t]))
+            t += int(ch[t])
+        assert got == list(sizes), n

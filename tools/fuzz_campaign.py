@@ -87,7 +87,8 @@ def main() -> int:
     while time.time() < t_end:
         trials += 1
         n = rng.randrange(0, 30000)
-        w = rng.choice([8, 9, 10, 11, 12, 13, 15])
+        # biased toward 14/15: the split-field windows are the newest code
+        w = rng.choice([8, 9, 10, 11, 12, 13, 14, 14, 15, 15])
         lit = rng.choice([5, 6, 7, 8, 8, 8])
         ext = rng.random() < 0.7
         lazy = rng.random() < 0.4
