@@ -291,6 +291,32 @@ def compress_sharded(
 
     data = bytes(data)
     shards = [data[i : i + shard_size] for i in range(0, len(data), shard_size)] or [b""]
+    if engine == "device-greedy":
+        # Reference-greedy hybrid: Pallas search tables + native
+        # exact-table commit — byte-identical to the REFERENCE encoder
+        # per shard (engine/pipeline_ext.encode_ext_device_greedy).
+        if not extended:
+            raise ValueError("device-greedy is the extended-format mode; "
+                             "v1 engine='device-commit' is already "
+                             "reference-exact")
+        from ..engine.pipeline_ext import encode_ext_device_greedy
+
+        blobs = encode_ext_device_greedy(
+            shards, window=window, literal=literal,
+            lazy_matching=lazy_matching, dictionary=dictionary)
+        return _pack_frame(blobs, len(data), shard_size)
+    if engine == "device-optimal":
+        # Fully on-chip minimum-bit v1 parse (engine/pipeline
+        # .encode_v1_device_optimal) — byte-identical to
+        # encode_v1(parse="optimal").
+        if extended:
+            raise ValueError("device-optimal is v1-format only; the host "
+                             "engine='optimal' covers extended")
+        from ..engine.pipeline import encode_v1_device_optimal
+
+        blobs = encode_v1_device_optimal(
+            shards, window=window, literal=literal, dictionary=dictionary)
+        return _pack_frame(blobs, len(data), shard_size)
     if engine == "device-commit":
         # Fully on-chip encode: MXU search + Pallas planned-fields commit,
         # all shards batched (engine/pipeline, engine/pipeline_ext).
