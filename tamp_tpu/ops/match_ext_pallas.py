@@ -209,11 +209,20 @@ def _kernel(C_ref, d_ref, *refs,
     # ---- glue diagonals delta = 1 .. LEXT-1 ---------------------------
     # vst row i: candidate run on band W - dd, dd = _ND - i.
     # gb row i: continuation bits (d[r + dd + j] == C[t0 + r + j]).
+    # Two-level build like the band shears: row irow needs d[r + _ND-irow],
+    # consecutive rows step the shift by -1, so 8 REVERSED base shears
+    # (db8[j][r] = d[r + 7 - j]) + one (8, R) roll per 8-row group replace
+    # 136 narrow (1, R) rolls (1/8 VPU shapes).
     segR = seg[:, :R]
-    for irow in range(_ND):
-        dd_s = _ND - irow
-        d_sh = pltpu.roll(d, (R - dd_s) % R, 1)
-        gb[irow: irow + 1, :] = (d_sh == segR).astype(_F)
+    sg8 = jnp.broadcast_to(segR, (8, R))
+    for j in range(8):
+        a8[j: j + 1, :R] = pltpu.roll(d, (R - (7 - j)) % R, 1)
+    db8 = a8[:, :R]
+    for a_g in range(_ND // 8):
+        # rows 8*a_g + j (j=0..7): shift _ND - 8*a_g - j = (7-j) + base
+        base = _ND - 8 * a_g - 7
+        g = pltpu.roll(db8, (R - base) % R, 1)
+        gb[8 * a_g: 8 * a_g + 8, :] = (g == sg8).astype(_F)
     gv = _runs(gb[:, :], R, LEXT).astype(jnp.int32)
     v = vst[:, :].astype(jnp.int32)
 
