@@ -82,12 +82,20 @@ _C, _OUT, _POS, _LWF, _ERR, _FLUSHED = 0, 1, 2, 3, 4, 5
 
 def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             errs_ref, ring, obuf, tmp, st, dma_sem, *, W: int, more: bool,
-            max_out: int, tile: int):
+            max_out: int, tile: int, unified: bool):
     s = pl.program_id(0)
     i = pl.program_id(1)
     nbp = pl.num_programs(1) * tile
     base = i * tile
-    OMASK = 2 * OUT_CHUNK - 1  # flat double-chunk output buffer
+    # UNIFIED mode (v1 streams, no dictionary reset, W >= 2 chunks): every
+    # v1 token writes all its bytes with wrap, so the window ring IS the
+    # last W output bytes and slot == out_pos & (W-1) — the output buffer
+    # doubles as the ring, saving one SMEM store per decoded byte (the
+    # ring write) and one load path.  Extended streams diverge (RLE caps
+    # at 8, extended writes truncate), so they keep the separate ring.
+    OBUF_W = W if unified else 2 * OUT_CHUNK
+    OMASK = OBUF_W - 1
+    n_half = OBUF_W // OUT_CHUNK
 
     def wait_flush():
         # waits the one outstanding flush DMA (both halves are the same
@@ -109,16 +117,13 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
             wait_flush()
 
         dst = out_ref.at[s, :, pl.ds(ch * OUT_CHUNK, OUT_CHUNK)]
+        for h in range(n_half):
 
-        @pl.when(ch % 2 == 0)
-        def _():
-            pltpu.make_async_copy(
-                obuf.at[:, 0:OUT_CHUNK], dst, dma_sem).start()
-
-        @pl.when(ch % 2 == 1)
-        def _():
-            pltpu.make_async_copy(
-                obuf.at[:, OUT_CHUNK:2 * OUT_CHUNK], dst, dma_sem).start()
+            @pl.when(ch % n_half == h)
+            def _(h=h):
+                pltpu.make_async_copy(
+                    obuf.at[:, h * OUT_CHUNK:(h + 1) * OUT_CHUNK],
+                    dst, dma_sem).start()
 
     def load_ring(src_ref):
         # scalar copy (SMEM -> SMEM); a DMA into SMEM scratch doesn't lower
@@ -130,7 +135,14 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
     @pl.when(i == 0)
     def _():
-        load_ring(dinit_ref)
+        if unified:
+            def ubody(k, _):
+                obuf[0, k] = dinit_ref[0, 0, k]
+                return 0
+
+            lax.fori_loop(0, W, ubody, 0)
+        else:
+            load_ring(dinit_ref)
         st[_C] = 0
         st[_OUT] = 0
         st[_POS] = 0
@@ -163,6 +175,9 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
         err = jnp.where(
             (~is_inc) & (~is_fl) & (out_pos + cnt > max_out),
             jnp.int32(ERR_OVERFLOW), err)
+        if unified:  # v1 parses never produce RLE/EXT kinds
+            err = jnp.where(
+                (~is_inc) & (is_rle | is_ext), jnp.int32(ERR_INVALID), err)
         emit = (~is_inc) & (~is_fl) & (err == ERR_OK)
 
         # double FLUSH on a more_header stream: reset the window in place
@@ -184,10 +199,81 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
         wr = jnp.where(
             is_rle, jnp.minimum(jnp.minimum(cnt, 8), W - pos),
             jnp.where(is_ext, jnp.minimum(cnt, W - pos), cnt))
-        rle_b = ring[jnp.where(pos == 0, W - 1, pos - 1)]
 
+        # Match copies use SNAPSHOT semantics: the reference's window copy
+        # goes reverse-order on overlap and the output copy reads the
+        # pristine window (tamp/_c_src/tamp/common.c:58-86 tamp_window_copy),
+        # so a source byte is never one this token already wrote.  When the
+        # write range cannot touch the read range [idx, idx+cnt) — the
+        # common case — copy directly; otherwise stage through ``tmp``.
+        wrapped = pos + wr > W  # only basic matches can wrap (wr == cnt)
+        ov = jnp.where(
+            wrapped,
+            (idx + cnt > pos) | (idx < pos + wr - W),
+            (idx < pos + wr) & (pos < idx + cnt))
+
+        if unified:
+            # the output buffer IS the ring: literal = 1 store, match =
+            # 1 load + 1 store per byte (store address == output address,
+            # wrap and no-wrap collapse into one path)
+            @pl.when(emit & is_lit)
+            def _():
+                obuf[0, out_pos & OMASK] = idx
+
+            @pl.when(emit & is_m & ~ov)
+            def _():
+                def m_u(j, _):
+                    obuf[0, (out_pos + j) & OMASK] = obuf[0, idx + j]
+                    return 0
+
+                lax.fori_loop(0, cnt, m_u, 0)
+
+            @pl.when(emit & is_m & ov)
+            def _():  # snapshot staging (cnt <= 16 for v1 matches)
+                def sbody(j, _):
+                    tmp[j] = obuf[0, idx + j]
+                    return 0
+
+                lax.fori_loop(0, cnt, sbody, 0)
+
+                def e_u(j, _):
+                    obuf[0, (out_pos + j) & OMASK] = tmp[j]
+                    return 0
+
+                lax.fori_loop(0, cnt, e_u, 0)
+
+        if not unified:
+            _classic_paths(emit, is_lit, is_rle, is_m, idx, cnt, wr, pos,
+                           out_pos, wrapped, ov, ring, obuf, tmp, OMASK, W)
+
+        adv = jnp.where(emit, jnp.where(is_lit, 1, wr), 0)
+        p2 = pos + adv  # adv < W always (cnt <= 241 < 256 <= W)
+        pos = jnp.where(p2 >= W, p2 - W, p2)
+        out_pos = out_pos + jnp.where(emit, cnt, 0)
+
+        # flush completed chunks (a token adds <= 241 bytes, so at most one
+        # chunk completes per token; async copy — see flush_chunk).
+        # ``flushed`` counts CHUNKS so the HBM offset is written as
+        # chunk * OUT_CHUNK — a form Mosaic can prove 128-divisible.
+        done = out_pos // OUT_CHUNK
+
+        def fcond(ch):
+            return ch < done
+
+        def fbody(ch):
+            flush_chunk(ch)
+            return ch + 1
+
+        flushed = lax.while_loop(fcond, fbody, flushed)
+
+        c = jnp.where(is_inc | (err != ERR_OK), nbp, c + delta)
+        return c, out_pos, pos, lwf, flushed, err
+
+    def _classic_paths(emit, is_lit, is_rle, is_m, idx, cnt, wr, pos,
+                       out_pos, wrapped, ov, ring, obuf, tmp, OMASK, W):
         # kind-specialized copy paths: the generic per-byte select/
         # predicate loop costs ~2x on the SMEM-port-bound scalar core
+        rle_b = ring[jnp.where(pos == 0, W - 1, pos - 1)]
 
         @pl.when(emit & is_lit)
         def _():  # literals always have cnt == 1 (decode_wavefront:199)
@@ -209,18 +295,6 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
                 return 0
 
             lax.fori_loop(0, wr, r_win, 0)
-
-        # Match copies use SNAPSHOT semantics: the reference's window copy
-        # goes reverse-order on overlap and the output copy reads the
-        # pristine window (tamp/_c_src/tamp/common.c:58-86 tamp_window_copy),
-        # so a source byte is never one this token already wrote.  When the
-        # write range cannot touch the read range [idx, idx+cnt) — the
-        # common case — copy directly; otherwise stage through ``tmp``.
-        wrapped = pos + wr > W  # only basic matches can wrap (wr == cnt)
-        ov = jnp.where(
-            wrapped,
-            (idx + cnt > pos) | (idx < pos + wr - W),
-            (idx < pos + wr) & (pos < idx + cnt))
 
         @pl.when(emit & is_m & ~ov & ~wrapped)
         def _():  # direct copy, no wrap: 3 plain SMEM ops per byte.
@@ -276,29 +350,6 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
             lax.fori_loop(wr, cnt, e_out, 0)
 
-        adv = jnp.where(emit, jnp.where(is_lit, 1, wr), 0)
-        p2 = pos + adv  # adv < W always (cnt <= 241 < 256 <= W)
-        pos = jnp.where(p2 >= W, p2 - W, p2)
-        out_pos = out_pos + jnp.where(emit, cnt, 0)
-
-        # flush completed chunks (a token adds <= 241 bytes, so at most one
-        # chunk completes per token; synchronous copy keeps buffer reuse
-        # safe).  ``flushed`` counts CHUNKS so the HBM offset is written as
-        # chunk * OUT_CHUNK — a form Mosaic can prove 128-divisible.
-        done = out_pos // OUT_CHUNK
-
-        def fcond(ch):
-            return ch < done
-
-        def fbody(ch):
-            flush_chunk(ch)
-            return ch + 1
-
-        flushed = lax.while_loop(fcond, fbody, flushed)
-
-        c = jnp.where(is_inc | (err != ERR_OK), nbp, c + delta)
-        return c, out_pos, pos, lwf, flushed, err
-
     c, out_pos, pos, lwf, flushed, err = lax.while_loop(
         cond, body,
         (st[_C], st[_OUT], st[_POS], st[_LWF], st[_FLUSHED], st[_ERR]))
@@ -329,10 +380,11 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("NBP", "W", "more", "max_out", "tile", "interpret"))
+    static_argnames=("NBP", "W", "more", "max_out", "tile", "unified",
+                     "interpret"))
 def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
                         W: int, more: bool, max_out: int, tile: int = 8192,
-                        interpret: bool = False):
+                        unified: bool = False, interpret: bool = False):
     """Sequential-commit decode of S parsed shards.
 
     ``nxt``/``packed``: (S, NBP) int32 parse streams (``kind | cnt<<3 |
@@ -347,13 +399,16 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
     if W >= 4096:  # keep ring + tile + obuf comfortably inside SMEM
         tile = min(tile, 2048)
     tile = min(tile, NBP)
+    # unified (output-buffer-as-ring) needs W >= 2 flush chunks and no
+    # dictionary reset; the caller also guarantees a v1 parse stream
+    unified = unified and W >= 2 * OUT_CHUNK and not more
     n_tiles = NBP // tile
     mpad = -(-max_out // OUT_CHUNK) * OUT_CHUNK + OUT_CHUNK
     b = jnp.arange(NBP, dtype=jnp.int32)[None, :]
     delta = jnp.where(nxt >= NBP, 0, jnp.minimum(nxt - b, 63))
     pk = (packed & 0x7FF) | (delta << 11) | (packed >> 11 << 17)
     kern = functools.partial(_kernel, W=W, more=more, max_out=max_out,
-                             tile=tile)
+                             tile=tile, unified=unified)
     out, lens, errs = pl.pallas_call(
         kern,
         grid=(S, n_tiles),
@@ -378,8 +433,8 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
             jax.ShapeDtypeStruct((S, 1, n_tiles), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((W,), jnp.int32),
-            pltpu.SMEM((1, 2 * OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((8 if unified else W,), jnp.int32),
+            pltpu.SMEM((1, W if unified else 2 * OUT_CHUNK), jnp.int32),
             pltpu.SMEM((256,), jnp.int32),
             pltpu.SMEM((6,), jnp.int32),
             pltpu.SemaphoreType.DMA,

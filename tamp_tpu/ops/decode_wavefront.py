@@ -487,7 +487,9 @@ def _wavefront_batch(blobs, nbytes, dict_init, dict_reset, *, NBP, window,
         packed = kind_b | (cnt_b << 3) | (idx_b << 11)
         outs, lens, errs = commit_decode_batch(
             nxt, packed, dict_init, dict_reset, NBP=NBP, W=1 << window,
-            more=more, max_out=max_out, interpret=not commit_available())
+            more=more, max_out=max_out,
+            unified=not extended,  # v1 window == output: obuf-as-ring
+            interpret=not commit_available())
         return outs.astype(jnp.uint8), lens, errs
 
     # mode == "chase": boundary resolution via the Pallas sequential-chase
