@@ -78,3 +78,29 @@ def test_device_decode_custom_dictionary(rng):
     blob = _native.native_compress(data, dictionary=d)
     (got,) = decode_shards_device([blob], dictionary=d, max_out=256)
     assert got == data
+
+
+def test_unified_v1_decode_edges():
+    """The v1 unified (output-buffer-as-ring) commit variant across the
+    geometry that distinguishes it from the classic path: outputs
+    straddling flush-chunk boundaries, matches reading dictionary slots,
+    exact-W outputs, and wrap-overlap matches (ab-periodic data maximizes
+    self-referential copies)."""
+    import os
+
+    import numpy as np
+
+    import tamp_tpu
+    from tamp_tpu.ops.decode_wavefront import decode_shards_wavefront
+
+    os.environ["TAMP_TPU_DECODE"] = "commit"
+    try:
+        rng = np.random.default_rng(55)
+        for n in (1, 511, 512, 513, 1023, 1024, 1025, 3000):
+            for data in ((b"ab" * n)[:n],
+                         bytes(rng.integers(0, 256, n, np.uint8))):
+                blob = tamp_tpu.compress(data, window=10, extended=False)
+                got = decode_shards_wavefront([blob], max_out=n + 64)[0]
+                assert got == data, n
+    finally:
+        del os.environ["TAMP_TPU_DECODE"]
