@@ -187,6 +187,27 @@ if "ext_encode" in stages:
     except Exception as e:
         result["ext_encode_error"] = repr(e)[:120]
     emit()
+# reference-greedy device mode (round 4): device search tables + native
+# exact-table commit — byte-identical to the reference encoder; e2e here
+# is bound by the 2 B/byte packed-table pull through the tunnel
+if "greedy_encode" in stages:
+    try:
+        from tamp_tpu.parallel.shard import compress_sharded as _cs
+        blob_g = _cs(data, engine="device-greedy", extended=True,
+                     shard_size=1 << 20)
+        assert blob_g == _cs(data, engine="native", extended=True,
+                             lazy_matching=False, shard_size=1 << 20)
+        g_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _cs(data, engine="device-greedy", extended=True,
+                shard_size=1 << 20)
+            g_s = min(g_s, time.perf_counter() - t0)
+        result["greedy_encode_mb_s"] = round(len(data) / g_s / 1e6, 2)
+        result["greedy_byte_equal_reference"] = 1
+    except Exception as e:
+        result["greedy_encode_error"] = repr(e)[:120]
+    emit()
 # compute-only kernel figures (scalar-pull sync, transfers excluded):
 # tunnel weather moves the e2e rates 20-40pct between rounds, so these are
 # the keys that make KERNEL regressions visible across BENCH_r*.json
@@ -266,10 +287,12 @@ if "compute" in stages:
         "decode": ("container_decode_mb_s", "container_decode_error"),
         "v1_encode": ("v1_encode_mb_s", "v1_encode_error"),
         "ext_encode": ("ext_encode_mb_s", "ext_encode_error"),
+        "greedy_encode": ("greedy_encode_mb_s", "greedy_encode_error"),
         "compute": ("decode_commit_compute_ms_mb", "compute_error"),
     }
     device = {}
-    remaining = ["decode", "v1_encode", "ext_encode", "compute"]
+    remaining = ["decode", "v1_encode", "ext_encode", "greedy_encode",
+                 "compute"]
     overall_deadline = time.time() + 1020
     cold_retry = 1
     last_err = ""
