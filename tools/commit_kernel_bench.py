@@ -83,18 +83,21 @@ def measure(mb: float, reps: int = 3, scale: bool = False,
     if verbose:
         print(json.dumps(out), flush=True)  # partial, in case encode fails
 
-    # --- v1 encode commit kernel (tables from the NumPy oracle) ---
+    # --- v1 encode commit kernel (tables from the native chain engine:
+    # identical walk decisions — sub-minp entries differ from the oracle
+    # but both are < minp — and ~1000x faster to build than the O(N*W)
+    # NumPy oracle, which stalled the bench probe's watchdog at 2 MB) ---
     from tamp_tpu.engine.encode import model_history
-    from tamp_tpu.engine.search_np import match_tables
     from tamp_tpu.ops.encode_commit_pallas import TILE, encode_commit_batch
 
     arr = np.frombuffer(data, np.uint8)
     dict_arr, _hist = model_history(arr, window, literal, False, None)
-    tables = match_tables(arr, dict_arr, window, compute_probe=False)
+    flen16, fidx16 = _native.native_v1_tables(
+        arr, window, literal, 16, dictionary=dict_arr.tobytes())
     NP = 1 << (max(n, TILE, 1) - 1).bit_length()
     pk = np.zeros((1, NP), np.int32)
-    pk[0, :n] = ((tables.len16[:n].astype(np.int32) << 23)
-                 | (tables.idx16[:n].astype(np.int32) << 8)
+    pk[0, :n] = ((flen16[:n].astype(np.int32) << 23)
+                 | (fidx16[:n].astype(np.int32) << 8)
                  | arr.astype(np.int32))
     pb = np.zeros((1, NP), np.int32)
     npos = np.asarray([n], np.int32)
