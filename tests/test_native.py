@@ -99,6 +99,18 @@ def test_native_table_commit(window, literal, extended, lazy, ref_tamp, rng):
             assert len(ours) <= len(theirs) + max(8, len(theirs) // 100), (
                 window, literal, lazy, len(data), len(ours), len(theirs),
             )
+            # exact-table mode (round 4): raw-history tables + seeded
+            # exact searches past divergence = full byte parity.  Small
+            # windows only (the O(N*W) oracle is slow at w>=13); the fuzz
+            # campaign's greedy-device leg covers the full lattice.
+            if window <= 11:
+                dict_arr = dictionary_array(W, literal=literal)
+                tabs = match_tables(arr, dict_arr, window,
+                                    compute_probe=lazy)
+                exact = _native.native_compress(
+                    data, window=window, literal=literal, extended=True,
+                    lazy_matching=lazy, tables=tabs, exact_tables=True)
+                assert exact == theirs, (window, literal, lazy, len(data))
 
 
 def test_native_decoder_vs_reference_streams(ref_tamp, rng):
