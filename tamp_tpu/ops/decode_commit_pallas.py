@@ -87,13 +87,20 @@ def _kernel(pk_ref, dinit_ref, dreset_ref, out_ref, lens_ref,
     i = pl.program_id(1)
     nbp = pl.num_programs(1) * tile
     base = i * tile
-    # UNIFIED mode (v1 streams, no dictionary reset, W >= 2 chunks): every
+    # UNIFIED mode (v1 streams, no dictionary reset, W >= 4 chunks): every
     # v1 token writes all its bytes with wrap, so the window ring IS the
     # last W output bytes and slot == out_pos & (W-1) — the output buffer
     # doubles as the ring, saving one SMEM store per decoded byte (the
     # ring write) and one load path.  Extended streams diverge (RLE caps
     # at 8, extended writes truncate), so they keep the separate ring.
-    OBUF_W = W if unified else 2 * OUT_CHUNK
+    #
+    # The buffer holds FOUR flush chunks (not two): the flush DMA is async
+    # (waited one flush later), and a chunk-straddling token writes up to
+    # 244 bytes past the boundary BEFORE the flush loop runs — with two
+    # halves those writes land in the half the in-flight DMA is still
+    # reading.  With >= 4 halves the in-flight DMA is on half ch%n and
+    # pre-flush writes only ever reach halves (ch+1)%n and (ch+2)%n.
+    OBUF_W = W if unified else 4 * OUT_CHUNK
     OMASK = OBUF_W - 1
     n_half = OBUF_W // OUT_CHUNK
 
@@ -399,9 +406,10 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
     if W >= 4096:  # keep ring + tile + obuf comfortably inside SMEM
         tile = min(tile, 2048)
     tile = min(tile, NBP)
-    # unified (output-buffer-as-ring) needs W >= 2 flush chunks and no
-    # dictionary reset; the caller also guarantees a v1 parse stream
-    unified = unified and W >= 2 * OUT_CHUNK and not more
+    # unified (output-buffer-as-ring) needs W >= 4 flush chunks (the
+    # async-flush safety argument in _kernel) and no dictionary reset; the
+    # caller also guarantees a v1 parse stream
+    unified = unified and W >= 4 * OUT_CHUNK and not more
     n_tiles = NBP // tile
     mpad = -(-max_out // OUT_CHUNK) * OUT_CHUNK + OUT_CHUNK
     b = jnp.arange(NBP, dtype=jnp.int32)[None, :]
@@ -434,7 +442,7 @@ def commit_decode_batch(nxt, packed, dict_init, dict_reset, *, NBP: int,
         ],
         scratch_shapes=[
             pltpu.SMEM((8 if unified else W,), jnp.int32),
-            pltpu.SMEM((1, W if unified else 2 * OUT_CHUNK), jnp.int32),
+            pltpu.SMEM((1, W if unified else 4 * OUT_CHUNK), jnp.int32),
             pltpu.SMEM((256,), jnp.int32),
             pltpu.SMEM((6,), jnp.int32),
             pltpu.SemaphoreType.DMA,

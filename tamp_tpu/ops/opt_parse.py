@@ -54,7 +54,11 @@ ensure_jax_cache()
 __all__ = ["opt_v1_choice_device"]
 
 K = 16            # max lookback: literal(1), matches minp..minp+13 <= 16
-INF = 1 << 25     # saturating infinity (real costs < NP * 9 < 2^24)
+# Saturating infinity.  Must exceed the largest REAL cost (NP * (1+literal)
+# bits) or valid shards read as excess-bits, and the packed pass-2 score
+# (cost * 32 + pri) must fit int32 — so INF tops out just under 2^26.
+# opt_v1_choice_device validates the resulting shard-size bound (~7 MiB).
+INF = (1 << 26) - 64
 
 
 @functools.partial(
@@ -74,6 +78,11 @@ def opt_v1_choice_device(flen, data, npos, *, window: int, literal: int,
     B = min(B, NP)
     assert NP % B == 0
     n_b = NP // B
+    if NP * (literal + 1) >= INF:
+        raise ValueError(
+            f"shard too large for the device optimal DP: NP={NP} can cost "
+            f"up to NP*(1+literal) bits >= INF={INF}; use shard_size <= "
+            f"{(INF // 9) & ~1023} bytes")
     minp = compute_min_pattern_size(window, literal)
     maxpat = minp + 13
     lit_limit = 256 if literal == 8 else (1 << literal)

@@ -93,14 +93,20 @@ def test_unified_v1_decode_edges():
     import tamp_tpu
     from tamp_tpu.ops.decode_wavefront import decode_shards_wavefront
 
+    prev = os.environ.get("TAMP_TPU_DECODE")
     os.environ["TAMP_TPU_DECODE"] = "commit"
     try:
         rng = np.random.default_rng(55)
-        for n in (1, 511, 512, 513, 1023, 1024, 1025, 3000):
-            for data in ((b"ab" * n)[:n],
-                         bytes(rng.integers(0, 256, n, np.uint8))):
-                blob = tamp_tpu.compress(data, window=10, extended=False)
-                got = decode_shards_wavefront([blob], max_out=n + 64)[0]
-                assert got == data, n
+        # w=12: unified (>= 4 flush chunks); w=10: the classic ring path
+        for w in (12, 10):
+            for n in (1, 511, 512, 513, 1023, 1024, 1025, 3000, 8192):
+                for data in ((b"ab" * n)[:n],
+                             bytes(rng.integers(0, 256, n, np.uint8))):
+                    blob = tamp_tpu.compress(data, window=w, extended=False)
+                    got = decode_shards_wavefront([blob], max_out=n + 64)[0]
+                    assert got == data, (w, n)
     finally:
-        del os.environ["TAMP_TPU_DECODE"]
+        if prev is None:
+            del os.environ["TAMP_TPU_DECODE"]
+        else:
+            os.environ["TAMP_TPU_DECODE"] = prev
