@@ -48,9 +48,13 @@ SMEM-op count AND per-iteration branch count are the whole game):
   lands at future output positions that later tokens rewrite before their
   chunk is flushed (flushes trail the write head), so it needs no
   predication.
-- The output buffer is ONE flat double-chunk SMEM array indexed
-  ``out_pos & 1023`` whose 512-byte halves are DMA'd to HBM as static
-  slices selected by chunk parity.
+- The output buffer is ONE flat four-chunk SMEM array indexed
+  ``out_pos & 2047`` whose 512-byte quarters are DMA'd to HBM
+  asynchronously as static slices selected by ``chunk % 4`` (four
+  chunks, not two, so a chunk-straddling token can never write into the
+  quarter the one in-flight DMA is still reading); in UNIFIED mode
+  (v1-format streams) the buffer is W bytes wide and doubles as the
+  window ring itself.
 """
 
 from __future__ import annotations
