@@ -544,10 +544,22 @@ struct Committer {
   // mode).  In reference-parity mode the tables only serve the steady state
   // (rem >= 16); the <16-byte flush drain replays the reference's shrinking
   // search exactly.  In planned mode tables serve every position, capped.
+  // Sparse-table hole marker: the device shipped no entry for this
+  // position (speculative-walk pull, ops/greedy_predict_pallas.py) — run
+  // the exact chain search instead.  Pre-divergence the chain search
+  // returns exactly what the table would have (the tables encode the
+  // reference search semantics), so byte parity never depends on which
+  // positions carry entries.
+  static constexpr int SPARSE_NONE = 0xFF;
+
   SearchResult first_search(int64_t rem) {
     int cap = (int)(rem < full_cap ? rem : full_cap);
     if (flen && (plan ? true : rem >= LOOKAHEAD)) {
       int len = flen[t]; int x = fidx[t];
+      if (len == SPARSE_NONE) {
+        int tl = (int)(rem < LOOKAHEAD ? rem : LOOKAHEAD);
+        return chain_search(data + t, tl, cap, 0);
+      }
       if (len > cap) len = cap;
       if (!diverged) return {x, len};
       if (exact_tables) {
@@ -581,6 +593,10 @@ struct Committer {
     if ((int64_t)(rem - 1) < cap) cap = (int)(rem - 1);
     if (plen && (plan ? true : rem >= LOOKAHEAD)) {
       int len = plen[t]; int x = pidx[t];
+      if (len == SPARSE_NONE) {
+        int tl = (int)((rem - 1) < 15 ? (rem - 1) : 15);
+        return chain_search(data + t + 1, tl, cap, 0);
+      }
       if (len > cap) len = cap;
       if (!diverged) return {x, len};
       if (exact_tables) {

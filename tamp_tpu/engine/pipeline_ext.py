@@ -137,11 +137,12 @@ def _greedy_tables_stage():
 
         tabs = ext_tables_pallas(
             dh_u8, npos, dict_arr, window_bits=window, LEXT=16,
-            T=T, n_chunks=NP // T, probe=lazy, interpret=interpret)
+            T=T, n_chunks=NP // T, probe=lazy, interpret=interpret,
+            families="f16")
         dt = jnp.int16 if narrow else jnp.int32
         out = [(tabs[0] | (tabs[1] << 5)).astype(dt)]
         if lazy:
-            out.append((tabs[4] | (tabs[5] << 4)).astype(dt))
+            out.append((tabs[2] | (tabs[3] << 4)).astype(dt))
         return tuple(out)
 
     return jax.jit(impl, static_argnames=("window", "lazy", "NP", "narrow",
@@ -149,6 +150,44 @@ def _greedy_tables_stage():
 
 
 _greedy_tables_stage = functools.lru_cache(maxsize=1)(_greedy_tables_stage)
+
+
+def _greedy_sparse_stage():
+    import jax
+
+    def impl(dh_u8, npos, dict_arr, *, window: int, literal: int,
+             dlast: int, lazy: bool, NP: int, T: int = 1024,
+             interpret: bool = False):
+        """Speculative-pull device half of the greedy-parity mode: cap-16
+        (+probe) tables -> packed walker plane -> scalar-core speculative
+        walk (ops/greedy_predict_pallas).  Returns (bitmap, entries,
+        state); the host pulls the bitmap (1 bit/position), popcounts it,
+        and pulls exactly the predicted token-start entries (~0.2-0.7
+        B/input byte on text) instead of the dense 2-4 B/byte plane."""
+        import jax.numpy as jnp
+
+        from ..ops.greedy_predict_pallas import (
+            greedy_predict_batch, pack_predict_plane,
+        )
+        from ..ops.match_ext_pallas import ext_tables_pallas
+
+        tabs = ext_tables_pallas(
+            dh_u8, npos, dict_arr, window_bits=window, LEXT=16,
+            T=T, n_chunks=NP // T, probe=lazy, interpret=interpret,
+            families="f16")
+        pk = pack_predict_plane(
+            dh_u8.astype(jnp.int32), npos, tabs[0], tabs[1],
+            dlast=dlast, NP=NP)
+        pp = ((tabs[3] & 0x7FFF) | ((tabs[2] & 15) << 15)) if lazy else pk
+        return greedy_predict_batch(
+            pk, pp, npos, NP=NP, window=window, literal=literal,
+            lazy=lazy, tile=min(512, NP), interpret=interpret)
+
+    return jax.jit(impl, static_argnames=("window", "literal", "dlast",
+                                          "lazy", "NP", "T", "interpret"))
+
+
+_greedy_sparse_stage = functools.lru_cache(maxsize=1)(_greedy_sparse_stage)
 
 
 def encode_ext_device_greedy(
@@ -160,6 +199,7 @@ def encode_ext_device_greedy(
     dictionary: bytes | None = None,
     device_tables: bool | None = None,
     interpret: bool = False,
+    pull: str = "auto",
 ) -> list[bytes]:
     """REFERENCE-GREEDY extended encode with the match search on the TPU.
 
@@ -174,10 +214,20 @@ def encode_ext_device_greedy(
 
     This is the byte-parity complement of :func:`encode_ext_device_commit`
     (fully on-chip, planned tokenization): the sequential walk is
-    inherently serial and stays on the host, the search does not.  The
-    packed table pull costs 2 B/byte at window <= 10 (4 B/byte above) —
-    negligible over PCIe, the e2e bound through this environment's
-    ~30 MB/s tunnel.
+    inherently serial and stays on the host, the search does not.
+
+    ``pull`` selects the device->host table transfer strategy:
+
+    - ``"sparse"`` (the ``"auto"`` default with device tables): the
+      scalar core runs a speculative replay of the reference walk over
+      the packed tables (ops/greedy_predict_pallas) and the host pulls a
+      1-bit/position start bitmap plus the packed entries at predicted
+      token starts only.  Missing entries (mispredictions, post-
+      divergence drift) fall back to the committer's exact chain search
+      — byte parity never depends on the prediction, only the pull
+      volume and host CPU do.
+    - ``"dense"``: the round-4 path — the full packed plane at 2 B/byte
+      (window <= 10; 4 B/byte above, doubled by lazy).
     """
     import numpy as np
 
@@ -189,6 +239,8 @@ def encode_ext_device_greedy(
         raise RuntimeError(
             f"greedy device encode needs the native engine "
             f"({_native.load_error()})")
+    if pull not in ("auto", "sparse", "dense"):
+        raise ValueError("pull must be 'auto', 'sparse' or 'dense'")
     W = 1 << window
     compute_min_pattern_size(window, literal)
     if dictionary is not None:
@@ -207,8 +259,10 @@ def encode_ext_device_greedy(
         from ..ops.match_ext_pallas import ext_pallas_available
 
         device_tables = ext_pallas_available()
+    sparse = pull != "dense"
 
     packed = [None] * S
+    holes = [None] * S
     if device_tables:
         import jax.numpy as jnp
 
@@ -221,27 +275,70 @@ def encode_ext_device_greedy(
         for i, d in enumerate(datas):
             dh_u8[i, : d.shape[0]] = d
         narrow = window <= 10
-        stage = _greedy_tables_stage()
         dict_d = jnp.asarray(dict_arr.astype(np.int32))
         groups = [list(range(S))]
         if S >= 4:
             h = (S + 1) // 2
             groups = [list(range(h)), list(range(h, S))]
-        handles = [
-            stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
-                  window=window, lazy=lazy_matching, NP=MP, narrow=narrow,
-                  T=T, interpret=interpret)
-            for g in groups
-        ]
-        for g, h in zip(groups, handles):
-            planes = [np.asarray(p).astype(np.int32) for p in h]
-            for j, i in enumerate(g):
-                packed[i] = [p[j] for p in planes]
+        if sparse:
+            stage = _greedy_sparse_stage()
+            handles = [
+                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
+                      window=window, literal=literal,
+                      dlast=int(dict_arr[-1]), lazy=lazy_matching, NP=MP,
+                      T=T, interpret=interpret)
+                for g in groups
+            ]
+            mult = 2 if lazy_matching else 1
+            for g, h in zip(groups, handles):
+                bm, ent, _st = h
+                bm_host = np.asarray(bm)
+                bits = np.unpackbits(
+                    bm_host.view(np.uint8), axis=1, bitorder="little")
+                ne = bits.sum(axis=1, dtype=np.int64)
+                kmax = int(ne.max()) * mult if len(g) else 0
+                K = 1 << max(9, (max(kmax, 1) - 1).bit_length())
+                K = min(K, int(ent.shape[1]))
+                ent_host = np.asarray(ent[:, :K])
+                for j, i in enumerate(g):
+                    holes[i] = (bits[j], ent_host[j], int(ne[j]))
+        else:
+            stage = _greedy_tables_stage()
+            handles = [
+                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
+                      window=window, lazy=lazy_matching, NP=MP,
+                      narrow=narrow, T=T, interpret=interpret)
+                for g in groups
+            ]
+            for g, h in zip(groups, handles):
+                planes = [np.asarray(p).astype(np.int32) for p in h]
+                for j, i in enumerate(g):
+                    packed[i] = [p[j] for p in planes]
 
     def commit(i: int) -> bytes:
         data = datas[i]
         n = data.shape[0]
-        if packed[i] is not None:
+        if holes[i] is not None:
+            bits, ent, ne = holes[i]
+            starts = np.flatnonzero(bits[:n])
+            k = starts.shape[0]
+            flen = np.full(n, 0xFF, np.uint8)
+            fidx = np.zeros(n, np.int32)
+            if lazy_matching:
+                main = ent[0: 2 * k: 2]
+                pq = ent[1: 2 * k: 2]
+            else:
+                main = ent[:k]
+            flen[starts] = ((main >> 15) & 31).astype(np.uint8)
+            fidx[starts] = (main & 0x7FFF).astype(np.int32)
+            if lazy_matching:
+                pl_ = np.full(n, 0xFF, np.uint8)
+                pi_ = np.zeros(n, np.int32)
+                pl_[starts] = ((pq >> 15) & 15).astype(np.uint8)
+                pi_[starts] = (pq & 0x7FFF).astype(np.int32)
+            else:
+                pl_ = pi_ = None
+        elif packed[i] is not None:
             main = packed[i][0][:n]
             flen = (main & 31).astype(np.uint8)
             fidx = (main >> 5).astype(np.int32)

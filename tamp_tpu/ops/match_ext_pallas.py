@@ -94,8 +94,8 @@ def _runs(L, R: int, cap: int):
 
 def _kernel(C_ref, d_ref, *refs,
             window_bits: int, LEXT: int, T: int, R: int, LSEG: int,
-            n_chunks: int, probe: bool, unroll: bool):
-    n_out = 6 if probe else 4
+            n_chunks: int, probe: bool, unroll: bool, ext_family: bool):
+    n_out = (4 if ext_family else 2) + (2 if probe else 0)
     outs = refs[:n_out]
     (seg_buf, d_buf, a8, ebb, vst, gb, res, in_sem, out_sem) = refs[n_out:]
     W = 1 << window_bits
@@ -167,7 +167,8 @@ def _kernel(C_ref, d_ref, *refs,
             return jnp.maximum(acc, jnp.max(sc, axis=0, keepdims=True))
 
         s16 = mscore(lrb, 16, s16, W - 16)
-        sx = mscore(lrb, LEXT, sx, W - LEXT)
+        if ext_family:
+            sx = mscore(lrb, LEXT, sx, W - LEXT)
         if probe:
             # probe run at (band b, lane r) = main run at (b-1, r+1); the
             # block's row 0 takes the previous block's carried last row
@@ -245,7 +246,9 @@ def _kernel(C_ref, d_ref, *refs,
         return jnp.max(sc, axis=0, keepdims=True)  # (1, R) int32
 
     s16 = jnp.maximum(s16_m.astype(jnp.int32), gscore(v, gv, 16, 15))
-    sx = jnp.maximum(sx_m.astype(jnp.int32), gscore(v, gv, LEXT, LEXT - 1))
+    if ext_family:
+        sx = jnp.maximum(sx_m.astype(jnp.int32),
+                         gscore(v, gv, LEXT, LEXT - 1))
     if probe:
         # probe glue: candidate run = main band W-dd-1 at lane r+1 (the
         # stash rolled one band down, one lane left); continuation uses the
@@ -272,11 +275,14 @@ def _kernel(C_ref, d_ref, *refs,
     wb = window_bits
     res[0] = (s16 >> wb)[:, :T]
     res[1] = ((W - 1) - (s16 & (W - 1)))[:, :T]
-    res[2] = (sx >> wb)[:, :T]
-    res[3] = ((W - 1) - (sx & (W - 1)))[:, :T]
+    k_res = 2
+    if ext_family:
+        res[2] = (sx >> wb)[:, :T]
+        res[3] = ((W - 1) - (sx & (W - 1)))[:, :T]
+        k_res = 4
     if probe:
-        res[4] = (sp >> wb)[:, :T]
-        res[5] = ((W - 1) - (sp & (W - 1)))[:, :T]
+        res[k_res] = (sp >> wb)[:, :T]
+        res[k_res + 1] = ((W - 1) - (sp & (W - 1)))[:, :T]
     for k in range(n_out):
         pltpu.make_async_copy(
             res.at[k], outs[k].at[s, :, pl.ds(t0, T)],
@@ -293,10 +299,11 @@ def _kernel(C_ref, d_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("window_bits", "LEXT", "T", "n_chunks", "probe",
-                     "unroll", "interpret"))
+                     "unroll", "interpret", "families"))
 def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
                       T: int = 1024, n_chunks: int = 1, probe: bool = False,
-                      unroll: bool | None = None, interpret: bool = False):
+                      unroll: bool | None = None, interpret: bool = False,
+                      families: str = "both"):
     """Match-table families for S shards (same contract as
     ops.match_ext_mxu.ext_tables_device).
 
@@ -305,7 +312,16 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     Returns (len16, idx16, lenx, idxx[, probe_len, probe_idx]), each
     (S, MP) int32; positions >= npos hold garbage (the planner masks by
     npos).
+
+    ``families="f16"`` computes only the cap-16 (+probe) family and
+    returns (len16, idx16[, probe_len, probe_idx]) — the greedy-parity
+    device mode needs no cap-LEXT plane, and at LEXT == 16 the ext family
+    would be a byte-for-byte duplicate of the cap-16 one (two wasted
+    mscore reductions and two wasted output planes per chunk).
     """
+    if families not in ("both", "f16"):
+        raise ValueError("families must be 'both' or 'f16'")
+    ext_family = families == "both"
     W = 1 << window_bits
     if W < 256 or T % 128:
         raise ValueError("ext_tables_pallas needs W >= 256, T % 128 == 0")
@@ -313,7 +329,7 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     R = _round_up(T + LEXT + 129, 128)
     LSEG = _round_up(R + W, 128)
     S = dh_b.shape[0]
-    n_out = 6 if probe else 4
+    n_out = (4 if ext_family else 2) + (2 if probe else 0)
 
     ci = jnp.arange(W + MP + LSEG, dtype=jnp.int32)
     di = jnp.arange(MP + R, dtype=jnp.int32)
@@ -336,7 +352,8 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
         unroll = window_bits <= 10
     kern = functools.partial(
         _kernel, window_bits=window_bits, LEXT=LEXT, T=T, R=R, LSEG=LSEG,
-        n_chunks=n_chunks, probe=probe, unroll=unroll)
+        n_chunks=n_chunks, probe=probe, unroll=unroll,
+        ext_family=ext_family)
     outs = pl.pallas_call(
         kern,
         grid=(S, n_chunks),

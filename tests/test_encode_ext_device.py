@@ -437,3 +437,109 @@ def test_fused_device_stage_matches_stepwise(rng):
         pallas_tables=False, sparse_rc=True, NP=NP, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(st_s), np.asarray(st_ref))
+
+
+def test_greedy_sparse_sentinel_holes():
+    """Native exact-table commit with SPARSE tables: 0xFF len marks a
+    position with no shipped entry and must fall back to the exact chain
+    search.  Punching random holes into exact tables must not change a
+    single output byte — this is the invariant the speculative-pull mode
+    (ops/greedy_predict_pallas) rests on: prediction quality can only
+    affect host CPU time, never the stream."""
+    rng = np.random.default_rng(404)
+    for window, literal, lazy in [(10, 8, False), (10, 8, True), (12, 8, False)]:
+        data = (_gen(rng, 2, 1500, 255) + bytes([7]) * 30
+                + _gen(rng, 1, 800, 255) + _gen(rng, 0, 700, 255))
+        arr = np.frombuffer(data, np.uint8)
+        dict_b = dictionary_array(1 << window, literal=literal)
+        if lazy:
+            l16, i16, pl, pi = _native.native_v1_tables(
+                arr, window, literal, 16, dictionary=dict_b.tobytes(),
+                probe=True)
+        else:
+            l16, i16 = _native.native_v1_tables(
+                arr, window, literal, 16, dictionary=dict_b.tobytes())
+            pl = pi = None
+        full = MatchTables(l16, i16, l16, i16, pl, pi)
+        want = _native.native_compress(
+            data, window=window, literal=literal, extended=True,
+            lazy_matching=lazy, tables=full, exact_tables=True)
+        for frac in (0.3, 0.9, 1.0):
+            hole = rng.random(arr.shape[0]) < frac
+            hl = l16.copy()
+            hl[hole] = 0xFF
+            hp = None
+            if lazy:
+                hp = pl.copy()
+                hp[hole] = 0xFF
+            holed = MatchTables(hl, i16, hl, i16, hp, pi)
+            got = _native.native_compress(
+                data, window=window, literal=literal, extended=True,
+                lazy_matching=lazy, tables=holed, exact_tables=True)
+            assert got == want, (window, literal, lazy, frac)
+
+
+@pytest.mark.parametrize("window,lazy", [(10, False), (10, True), (12, False)])
+def test_greedy_sparse_pull_interpret(window, lazy):
+    """The speculative-pull greedy path (cap-16 Pallas tables + scalar
+    walker + sentinel-holed native commit) in interpret mode must be
+    byte-equal to the dense-pull path and the reference across corpus
+    classes, and its pull volume must stay in the expected band on
+    text-like data (the predictor regression guard: parity can never
+    break, but a broken predictor would silently re-inflate the pull)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from tamp.compressor import compress as ref_compress
+    except Exception:
+        pytest.skip("reference package unavailable")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from tamp_tpu.engine.pipeline_ext import encode_ext_device_greedy
+
+    rng = np.random.default_rng(window + 100 * lazy)
+    shards = [_gen(rng, k, 1800, 255) for k in range(4)]
+    shards.append(_gen(rng, 2, 600, 255) + bytes([9]) * 600
+                  + _gen(rng, 1, 600, 255))
+    got_sparse = encode_ext_device_greedy(
+        shards, window=window, lazy_matching=lazy, device_tables=True,
+        interpret=True, pull="sparse")
+    got_dense = encode_ext_device_greedy(
+        shards, window=window, lazy_matching=lazy, device_tables=True,
+        interpret=True, pull="dense")
+    for s, a, b in zip(shards, got_sparse, got_dense):
+        want = ref_compress(s, window=window, extended=True,
+                            lazy_matching=lazy)
+        assert a == want and b == want, (window, lazy, len(s))
+
+
+def test_greedy_predictor_pull_volume():
+    """Entry-count sanity on text: the predictor must ship far fewer
+    entries than one per position (that is the whole point), but enough
+    to cover most token starts."""
+    from tamp_tpu.engine.pipeline_ext import _greedy_sparse_stage
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    data = _gen(rng, 2, 6000, 255)
+    arr = np.frombuffer(data, np.uint8)
+    n = arr.shape[0]
+    MP = 8192
+    dh = np.zeros((1, MP), np.uint8)
+    dh[0, :n] = arr
+    dict_arr = dictionary_array(1024, literal=8)
+    stage = _greedy_sparse_stage()
+    bm, ent, st = stage(
+        jnp.asarray(dh), jnp.asarray(np.asarray([n], np.int32)),
+        jnp.asarray(dict_arr.astype(np.int32)), window=10, literal=8,
+        dlast=int(dict_arr[-1]), lazy=False, NP=MP, T=128, interpret=True)
+    bits = np.unpackbits(np.asarray(bm).view(np.uint8), axis=1,
+                         bitorder="little")[0, :n]
+    ne = int(bits.sum())
+    assert ne == int(np.asarray(st)[0, 0])
+    # text-ish data: matchy starts well under one per 2.5 bytes, and the
+    # walk cannot be empty
+    assert n // 30 < ne < n // 2, ne
