@@ -85,9 +85,13 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
     if pallas_tables:
         from ..ops.match_ext_pallas import ext_tables_pallas
 
+        # bigger chunks amortize the R slack lanes (R - T is W-independent):
+        # ~15% fewer lane-ops at T=2048; small windows keep the
+        # better-pipelining unrolled T=1024 form
+        ST = 2048 if (window >= 12 and NP % 2048 == 0) else 1024
         tabs = ext_tables_pallas(
             dh_u8, npos, dict_arr, window_bits=window, LEXT=maxpat,
-            T=1024, n_chunks=NP // 1024, probe=lazy)
+            T=ST, n_chunks=NP // ST, probe=lazy)
         if lazy:
             l16, i16, lx, ix, plen, pidx = tabs
         else:
@@ -181,7 +185,7 @@ def _greedy_sparse_stage():
         pp = ((tabs[3] & 0x7FFF) | ((tabs[2] & 15) << 15)) if lazy else pk
         return greedy_predict_batch(
             pk, pp, npos, NP=NP, window=window, literal=literal,
-            lazy=lazy, tile=min(512, NP), interpret=interpret)
+            lazy=lazy, interpret=interpret)
 
     return jax.jit(impl, static_argnames=("window", "literal", "dlast",
                                           "lazy", "NP", "T", "interpret"))
@@ -270,6 +274,8 @@ def encode_ext_device_greedy(
         maxN = max(d.shape[0] for d in datas)
         MP = 1 << max(T.bit_length() - 1,
                       (max(maxN, 1) - 1).bit_length())
+        if sparse:
+            MP = max(MP, 4096)  # walker bitmap DMAs 128-word chunks
         npos = np.asarray([d.shape[0] for d in datas], np.int32)
         dh_u8 = np.zeros((S, MP), np.uint8)
         for i, d in enumerate(datas):

@@ -59,13 +59,23 @@ ECHUNK_W = 128    # entry-stream flush granularity (int32 words)
 P_NE, P_T, P_FL, P_NSLOTS = 0, 1, 2, 8
 
 
-def _kernel(pk_ref, pp_ref, n_ref, bm_ref, ent_ref, state_ref, obuf, st,
-            dma_sem, *, window: int, minp: int, lazy: bool, tile: int):
+def _kernel(pk_ref, pp_ref, n_ref, bm_ref, ent_ref, state_ref, obuf, bmbuf,
+            st, dma_sem, bm_sem, *, window: int, minp: int, lazy: bool,
+            tile: int):
     s = pl.program_id(0)
     i = pl.program_id(1)
     base = i * tile
     EMASK = 2 * ECHUNK_W - 1
     SINK = 2 * ECHUNK_W
+    NW = tile // 32          # bitmap words this tile produces (16)
+    # Bitmap words accumulate in a 2 x 128-word scratch and flush one full
+    # 128-word chunk (4096 positions = 8 tiles) per DMA: Mosaic requires
+    # SMEM DMA slice sizes to be 128-aligned along the minor dim, so the
+    # 16-word per-tile block cannot ship on its own.  n_tiles is a
+    # multiple of 8 (NP >= 4096 enforced by the wrapper), so the last
+    # tile's flush is the regular i%8==7 one.
+    half = lax.rem(i // 8, 2) * 128
+    hw = half + lax.rem(i, 8) * NW  # this tile's word window
     wmask = (1 << window) - 1
     npos = n_ref[0, 0, 0]
     hard_stop = npos - 15  # the host tail walk re-searches below rem=16
@@ -92,9 +102,9 @@ def _kernel(pk_ref, pp_ref, n_ref, bm_ref, ent_ref, state_ref, obuf, st,
         for k in range(4):
             st[k] = 0
 
-    # the tile's bitmap block: zero, then OR bits as the walk visits
-    for k in range(tile // 32):
-        bm_ref[0, 0, k] = 0
+    # zero this tile's bitmap word window, OR bits as the walk visits
+    for k in range(NW):
+        bmbuf[0, hw + k] = 0
 
     stop = jnp.minimum(base + tile, hard_stop)
 
@@ -129,8 +139,8 @@ def _kernel(pk_ref, pp_ref, n_ref, bm_ref, ent_ref, state_ref, obuf, st,
         emit = (matchy & (run <= 6)).astype(jnp.int32)
         # bitmap: unconditional read-modify-write, OR-in 0 when not
         # emitting (cheaper than a predicated sink slot)
-        wi = (t - base) >> 5
-        bm_ref[0, 0, wi] = bm_ref[0, 0, wi] | (emit << (t & 31))
+        wi = hw + ((t - base) >> 5)
+        bmbuf[0, wi] = bmbuf[0, wi] | (emit << (t & 31))
         slot = jnp.where(emit == 1, ne & EMASK, SINK)
         obuf[0, slot] = p
         if lazy:
@@ -150,6 +160,22 @@ def _kernel(pk_ref, pp_ref, n_ref, bm_ref, ent_ref, state_ref, obuf, st,
 
     t, ne, flushed = lax.while_loop(
         cond, body, (st[P_T], st[P_NE], st[P_FL]))
+
+    @pl.when(lax.rem(i, 8) == 7)
+    def _():
+        bdst = bm_ref.at[s, :, pl.ds((i // 8) * 128, 128)]
+
+        @pl.when(lax.rem(i // 8, 2) == 0)
+        def _():
+            cp = pltpu.make_async_copy(bmbuf.at[:, 0:128], bdst, bm_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(lax.rem(i // 8, 2) == 1)
+        def _():
+            cp = pltpu.make_async_copy(bmbuf.at[:, 128:256], bdst, bm_sem)
+            cp.start()
+            cp.wait()
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -202,6 +228,9 @@ def greedy_predict_batch(pk, pp, npos, *, NP: int, window: int, literal: int,
     (doubled when lazy: entries are (main, probe) pairs in walk order).
     """
     S = pk.shape[0]
+    if NP % (tile * 8) or tile % 32:
+        raise ValueError("greedy_predict_batch needs NP % (tile * 8) == 0 "
+                         "(128-word bitmap DMA chunks)")
     n_tiles = NP // tile
     minp = compute_min_pattern_size(window, literal)
     # non-lazy entries advance >= 2 per emit; lazy deferrals can emit a
@@ -222,8 +251,7 @@ def greedy_predict_batch(pk, pp, npos, *, NP: int, window: int, literal: int,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile // 32), lambda s, i: (s, 0, i),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, P_NSLOTS), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -235,7 +263,9 @@ def greedy_predict_batch(pk, pp, npos, *, NP: int, window: int, literal: int,
         ],
         scratch_shapes=[
             pltpu.SMEM((1, 2 * ECHUNK_W + 1), jnp.int32),  # +1: sink
+            pltpu.SMEM((1, 256), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

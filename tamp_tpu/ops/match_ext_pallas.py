@@ -36,10 +36,11 @@ Exactness notes:
 - Lane r of chunk t0 is stream position t0 + r; the ring slot of
   candidate (b, r) is (t0 + r + b) mod W and its linear-buffer cap is
   W - slot (same geometry as the XLA kernel).
-- ``pltpu.roll`` WRAPS: a roll by k corrupts lanes [R-k, R).  Runs at
-  output lanes r < T chain reads at most LEXT lanes ahead (the L == k
-  gate only fires on true run prefixes), so R >= T + LEXT + 129 keeps
-  every consumed lane clear of the deepest wrap zone (R - 128).
+- ``pltpu.roll`` WRAPS: a roll by k corrupts lanes [R-k, R).  The
+  next-zero suffix-min run scan (_runs) reads ``_scan_window(LEXT)``
+  lanes ahead UNGATED, and the deepest consumed glue row shifts another
+  LEXT-1 lanes, so R carries slack for both (see the wrapper's R
+  formula) to keep every consumed lane clear of the wrap zones.
 - f32 run arithmetic: Mosaic's roll handles 32-bit vectors only, and
   every packed score stays below 2^24 (LEXT*W + W < 2^23 at W = 2^15).
 
@@ -83,13 +84,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _runs(L, R: int, cap: int):
-    """Leading-ones run lengths along lanes via log-doubling."""
+def _scan_window(cap: int) -> int:
+    """Lane read-depth of _runs: the suffix-min covers 2^K - 1 >= cap."""
+    w = 1
+    while w < cap + 1:
+        w *= 2
+    return w - 1
+
+
+def _runs(E, R: int, cap: int):
+    """Leading-ones run lengths along lanes via a next-zero suffix-min
+    scan: Z[r] = lane index of the first zero at >= r, run = Z - r.
+
+    Replaces the round-3/4 gated log-doubling
+    (``L + where(L == k, roll(L, k), 0)``, 4 vector ops per round) with
+    2 ops per round.  Measured on-chip (w15): ~10% — the roll itself,
+    not the elementwise ops, is the dominant per-round cost, so halving
+    the cheap ops moves less than the op count suggests; the next level
+    (rolling quarter-width SWAR-packed lanes) is parked in BASELINE.md.
+    The price here is UNGATED read depth: every lane reads
+    ``_scan_window(cap)`` lanes ahead regardless of data (the doubling's
+    ``L == k`` gate bounded reads by the true run length), so the
+    wrapper's R slack must cover the full window plus the deepest
+    consumed glue row.  Values with no mismatch inside the window
+    saturate at >= cap and every consumer caps with ``min(., cap_pat)``.
+    """
+    rows = E.shape[0]
+    # Mosaic's tpu.iota is integer-only: build int32, cast
+    ri = lax.broadcasted_iota(jnp.int32, (rows, R), 1).astype(_F)
+    z = jnp.where(E == 0.0, ri, 65536.0)
     k = 1
-    while k < cap:
-        L = L + jnp.where(L == k, pltpu.roll(L, R - k, 1), 0.0)
+    while k <= cap:
+        z = jnp.minimum(z, pltpu.roll(z, R - k, 1))
         k *= 2
-    return L
+    return z - ri
 
 
 def _kernel(C_ref, d_ref, *refs,
@@ -161,14 +189,16 @@ def _kernel(C_ref, d_ref, *refs,
         capq = (W - x).astype(_F)
         slot_term = capq - 1.0
 
-        def mscore(u_rows, cap_pat, acc, bmax):
-            u = jnp.minimum(jnp.minimum(u_rows, float(cap_pat)), capq)
+        def mscore(u_rows, cap_pat, acc, bmax, pre_capped=False):
+            u = u_rows if pre_capped else jnp.minimum(u_rows, capq)
+            u = jnp.minimum(u, float(cap_pat))
             sc = jnp.where(band <= bmax, u * W + slot_term, -1.0)
             return jnp.maximum(acc, jnp.max(sc, axis=0, keepdims=True))
 
-        s16 = mscore(lrb, 16, s16, W - 16)
+        uq = jnp.minimum(lrb, capq)  # shared room cap for s16/sx
+        s16 = mscore(uq, 16, s16, W - 16, pre_capped=True)
         if ext_family:
-            sx = mscore(lrb, LEXT, sx, W - LEXT)
+            sx = mscore(uq, LEXT, sx, W - LEXT, pre_capped=True)
         if probe:
             # probe run at (band b, lane r) = main run at (b-1, r+1); the
             # block's row 0 takes the previous block's carried last row
@@ -326,7 +356,10 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     if W < 256 or T % 128:
         raise ValueError("ext_tables_pallas needs W >= 256, T % 128 == 0")
     MP = dh_b.shape[1]
-    R = _round_up(T + LEXT + 129, 128)
+    # R slack: the glue rows consume runs at dd <= LEXT-1, each reading
+    # the full suffix-min window past its shifted lane (see _runs)
+    R = _round_up(T + max(LEXT + 129,
+                          LEXT - 1 + _scan_window(LEXT) + 10), 128)
     LSEG = _round_up(R + W, 128)
     S = dh_b.shape[0]
     n_out = (4 if ext_family else 2) + (2 if probe else 0)

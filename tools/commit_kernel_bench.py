@@ -68,16 +68,33 @@ def measure(mb: float, reps: int = 3, scale: bool = False,
     max_out = _pow2_bucket(n + 1, 1024)
     blobs_d, nbytes_d = jnp.asarray(blobs), jnp.asarray(nbytes)
 
+    # Null-dispatch baseline (round-4 verdict weak #1/#4): the timed shape
+    # below is "dispatch one async computation, then block on ONE scalar
+    # pull" — through this tunnel the pull RPC alone costs ~30 ms, which
+    # at a 2 MB probe would read as ~15 ms/MB of phantom kernel cost.
+    # Measure that fixed latency with a trivial kernel of the same shape
+    # and subtract it; the raw figures stay alongside.
+    nul_d = jnp.zeros((8,), jnp.int32)
+
+    def _nul():
+        return int((nul_d + 1)[0])
+
+    _nul()
+    disp = min(_time(_nul) for _ in range(3 * reps))
+    out["dispatch_ms"] = round(disp * 1e3, 1)
+
     def dec():
         o, lens, errs = _wavefront_batch(
             blobs_d, nbytes_d, dict_init, dict_init, NBP=8 * L,
             window=window, literal=literal, extended=True, more=False,
             max_out=max_out, mode="commit")
-        return int(lens[0]), int(errs[0])
+        return lens, errs
 
-    ln, err = dec()  # compile + check
-    assert err == 0 and ln == n, (ln, n, err)
-    best = min(_time(dec) for _ in range(reps))
+    lens, errs = dec()  # compile + check (two pulls, outside timing)
+    assert int(errs[0]) == 0 and int(lens[0]) == n, (n,)
+    best = min(_time(lambda: int(dec()[0][0])) for _ in range(reps))
+    out["decode_commit_raw_ms_per_mb"] = round(best / mb * 1e3, 2)
+    best = max(best - disp, 1e-9)
     out["decode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
     out["decode_commit_mb_s"] = round(mb / best, 2)
     if verbose:
@@ -112,6 +129,8 @@ def measure(mb: float, reps: int = 3, scale: bool = False,
 
     assert enc() == 0
     best = min(_time(enc) for _ in range(reps))
+    out["encode_commit_raw_ms_per_mb"] = round(best / mb * 1e3, 2)
+    best = max(best - disp, 1e-9)
     out["encode_commit_ms_per_mb"] = round(best / mb * 1e3, 2)
     out["encode_commit_mb_s"] = round(mb / best, 2)
 
