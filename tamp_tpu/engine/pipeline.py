@@ -325,8 +325,11 @@ def _opt_v1_stage_impl(data, npos, dict_arr, *, window: int, literal: int,
         C2, d2, base, window, T, ("16",) if cap == 16 else ("15",),
         n_chunks, interpret)[:2]
 
-    choice, cost0 = opt_v1_choice_device(
+    choice, cost0, bad = opt_v1_choice_device(
         flen, data, npos, window=window, literal=literal, NP=NP)
+    # fold the any-position-unencodable flag into cost0 (native parity:
+    # tampn_opt_v1_plan raises even for positions the walk never visits)
+    cost0 = jnp.where(bad, jnp.int32(0x7FFFFFF), cost0)
 
     # ---- fields (same packing as ops/plan_ext, v1 symbol set) ----------
     is_lit = choice == 1

@@ -69,21 +69,32 @@ def opt_v1_choice_device(flen, data, npos, *, window: int, literal: int,
 
     ``flen``: (S, NP) int32 cap-16 match-length table (exact / oracle
     semantics; garbage past ``npos`` is masked internally); ``data``:
-    (S, NP) uint8; ``npos``: (S,) int32.  Returns ``(choice, cost0)``:
-    ``choice`` (S, NP) int32 — 1 = literal, s = match of size s, identical
-    to the native DP's choice at every position < npos — and ``cost0``
-    (S,) int32, the payload bit cost (>= INF signals excess bits).
+    (S, NP) uint8; ``npos``: (S,) int32.  Returns ``(choice, cost0,
+    bad)``: ``choice`` (S, NP) int32 — 1 = literal, s = match of size s,
+    identical to the native DP's choice at every position < npos —
+    ``cost0`` (S,) int32, the payload bit cost (>= INF signals excess
+    bits), and ``bad`` (S,) bool — True when ANY in-shard position has no
+    valid token.  The native DP (``tampn_opt_v1_plan``, the canonical
+    semantics) returns ExcessBitsError in that case even for positions
+    the optimal walk never visits; checking only ``cost0`` would let the
+    device path emit a stream where the native path raises (ADVICE r04).
     """
     S = flen.shape[0]
     B = min(B, NP)
     assert NP % B == 0
     n_b = NP // B
-    if NP * (literal + 1) >= INF:
+    minp = compute_min_pattern_size(window, literal)
+    # Worst-case payload bits per byte of a VALID shard: a literal-eligible
+    # byte costs 1+literal; a byte only coverable by matches costs at most
+    # ceil((window + max huffman len) / minp) (ADVICE r04: for literal < 8
+    # that can exceed 1+literal, so guarding on literals alone could let a
+    # valid shard saturate to INF and raise a spurious ExcessBitsError).
+    worst = max(1 + literal, -(-(window + 9) // minp))
+    if NP * worst >= INF:
         raise ValueError(
             f"shard too large for the device optimal DP: NP={NP} can cost "
-            f"up to NP*(1+literal) bits >= INF={INF}; use shard_size <= "
-            f"{(INF // 9) & ~1023} bytes")
-    minp = compute_min_pattern_size(window, literal)
+            f"up to NP*{worst} bits >= INF={INF}; use shard_size <= "
+            f"{(INF // worst) & ~1023} bytes")
     maxpat = minp + 13
     lit_limit = 256 if literal == 8 else (1 << literal)
     litc = jnp.int32(1 + literal)
@@ -134,8 +145,11 @@ def opt_v1_choice_device(flen, data, npos, *, window: int, literal: int,
 
     # ---- pass 2: concrete costs + exact-tie-break choice -----------------
     # score = cost * 32 + priority; priority 0 = literal, then ascending s
-    def step2(cur, xs):  # cur: (S, n_b, K) = cost[p+1 .. p+K]
-        lc, cp = xs
+    ins_s = to_steps(in_shard.astype(jnp.int32))
+
+    def step2(carry, xs):  # cur: (S, n_b, K) = cost[p+1 .. p+K]
+        cur, bad = carry
+        lc, cp, ins = xs
         best = jnp.minimum(cur[:, :, 0] + lc, INF) * 32
         for s in range(minp, maxpat + 1):
             cs = jnp.where(cp >= s, match_bits[s - minp], INF)
@@ -144,9 +158,11 @@ def opt_v1_choice_device(flen, data, npos, *, window: int, literal: int,
         cost = jnp.minimum(best >> 5, INF)
         pri = best & 31
         choice = jnp.where(pri == 0, 1, pri - 1 + minp)
+        bad = bad | ((ins == 1) & (cost >= INF))
         cur = jnp.concatenate([cost[:, :, None], cur[:, :, : K - 1]], axis=2)
-        return cur, choice
+        return (cur, bad), choice
 
-    _, ch = lax.scan(step2, bounds, (lit_s, cap_s))
+    (_, bad), ch = lax.scan(
+        step2, (bounds, jnp.zeros((S, n_b), bool)), (lit_s, cap_s, ins_s))
     choice = ch[::-1].transpose(1, 2, 0).reshape(S, NP)
-    return choice, v0[:, 0]
+    return choice, v0[:, 0], bad.any(axis=1)

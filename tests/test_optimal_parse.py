@@ -216,11 +216,12 @@ def test_device_optimal_dp_matches_native_choice(rng):
         fl[0, :n] = flen
         db = np.zeros((1, NP), np.uint8)
         db[0, :n] = arr
-        ch, _ = opt_v1_choice_device(
+        ch, _, bad = opt_v1_choice_device(
             jnp.asarray(fl), jnp.asarray(db),
             jnp.asarray(np.asarray([n], np.int32)),
             window=w, literal=lit, NP=NP)
         ch = np.asarray(ch)[0]
+        assert not bool(np.asarray(bad)[0])
         got, t = [], 0
         while t < n:
             got.append(int(ch[t]))
