@@ -117,6 +117,9 @@ def _load():
         lib.tampn_opt_ext_plan.argtypes = [u8p, u8p, i32p, u32p, i64p, cint,
                                            i64, cint, cint, u8p, u8p, i64p]
         lib.tampn_opt_ext_plan.restype = cint
+        lib.tampn_opt_ext_walk.argtypes = [u8p, i64, cint, i64p, cint,
+                                           u8p, u8p, i64p]
+        lib.tampn_opt_ext_walk.restype = cint
         lib.tampn_ext_prep.argtypes = [
             u8p, i64, cint, i64p, i64, i64p, u32p, u8p, u8p, i64p,
         ]
@@ -442,6 +445,31 @@ def native_opt_ext_plan(data, flen, fidx, window: int, literal: int,
         raise ExcessBitsError
     if rc != 0:
         raise ValueError(f"optimal plan failed (native rc={rc})")
+    return sizes[: n_tokens.value], kinds[: n_tokens.value]
+
+
+def native_opt_ext_walk(choice, minp: int, runs=None):
+    """Expand a device-DP per-position choice plane into the
+    (sizes, kinds) token stream of :func:`native_opt_ext_plan` (forced-RLE
+    regions expanded by the same 241/240 chunk rule)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    choice = np.ascontiguousarray(choice, dtype=np.uint8)
+    n = choice.shape[0]
+    rn = None
+    n_runs = 0
+    if runs is not None and len(runs):
+        rn = np.ascontiguousarray(np.asarray(runs, np.int64).reshape(-1))
+        n_runs = rn.shape[0] // 2
+    sizes = np.empty(max(n, 1), dtype=np.uint8)
+    kinds = np.empty(max(n, 1), dtype=np.uint8)
+    n_tokens = ctypes.c_int64(0)
+    rc = lib.tampn_opt_ext_walk(
+        _u8p(choice), n, minp, _i64p_arr(rn), n_runs,
+        _u8p(sizes), _u8p(kinds), ctypes.byref(n_tokens))
+    if rc != 0:
+        raise ValueError(f"optimal choice walk failed (native rc={rc})")
     return sizes[: n_tokens.value], kinds[: n_tokens.value]
 
 

@@ -2210,4 +2210,40 @@ int tampn_opt_ext_plan(const uint8_t* data, const uint8_t* flen,
   return 0;
 }
 
+// Expand a per-position choice plane (from the device min-plus DP,
+// ops/opt_parse_ext.py) into the same (sizes, kinds) token stream
+// tampn_opt_ext_plan emits: advance by choice outside forced regions,
+// expand each region's RLE chunks by the 241/240 split rule inside.
+// kinds: 0 literal, 1 basic, 2 extended, 3 RLE.  Returns 0 ok, -1 on a
+// stuck choice (device DP error).
+int tampn_opt_ext_walk(const uint8_t* choice, int64_t n, int minp,
+                       const int64_t* runs, int n_runs,
+                       uint8_t* sizes, uint8_t* kinds, int64_t* n_tokens) {
+  int wi = 0;
+  int64_t t = 0;
+  for (int64_t i = 0; i < n;) {
+    while (wi < n_runs && runs[2 * wi + 1] <= i) wi++;
+    if (wi < n_runs && i >= runs[2 * wi] && i < runs[2 * wi + 1]) {
+      const int64_t b = runs[2 * wi + 1];
+      while (i < b) {
+        int64_t rest = b - i;
+        int count = rest >= 243 ? 241 : (rest == 242 ? 240 : (int)rest);
+        sizes[t] = (uint8_t)count;
+        kinds[t] = 3;
+        t++;
+        i += count;
+      }
+      continue;
+    }
+    int ch = choice[i];
+    if (ch < 1) return -1;
+    sizes[t] = (uint8_t)ch;
+    kinds[t] = ch == 1 ? 0 : (ch <= minp + 11 ? 1 : 2);
+    t++;
+    i += ch;
+  }
+  *n_tokens = t;
+  return 0;
+}
+
 }  // extern "C"

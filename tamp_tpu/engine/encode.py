@@ -78,6 +78,55 @@ def _emit_v1_plan(data, sizes, flen, fidx, window: int, literal: int):
     return values, nbits
 
 
+def opt_ext_runs(data, window: int):
+    """Forced-RLE region structure for the extended optimal parse.
+
+    Regions cover byte runs >= 13 (empirical sweep: below 13 forced RLE
+    displaces cheaper match coverage, above it leaves RLE wins on the
+    table; the run's first byte stays in the DP so the decoder's
+    previous-window-byte equals the run byte).  Returns ``(runs, khat,
+    chunks)``: ``runs`` — (a, b) input-coordinate region pairs; ``khat``
+    — (n+1,) uint32 write counts modeling the per-chunk <=8-byte no-wrap
+    window writes (None when no region exists); ``chunks`` — per RLE
+    chunk (start, count) pairs in DP walk order.  Shared by the host DP
+    (encode_extended_optimal) and the device DP pipeline
+    (engine/pipeline_ext.encode_ext_device_optimal) so both see the
+    identical token family.
+    """
+    from ..constants import RLE_MAX_WINDOW_WRITE
+
+    n = data.shape[0]
+    W = 1 << window
+    RUN_MIN = 13
+    runs, chunks = [], []
+    khat = None
+    if n:
+        starts_r = np.flatnonzero(np.concatenate(([True], data[1:] != data[:-1])))
+        lens_r = np.diff(np.append(starts_r, n))
+        long_mask = lens_r >= RUN_MIN
+        if np.any(long_mask):
+            inc = np.ones(n, np.int64)
+            cum_full = np.cumsum(inc)  # writes-before assuming no skips
+            skipped = 0
+            for rs, ln in zip(starts_r[long_mask], lens_r[long_mask]):
+                a, b = int(rs) + 1, int(rs + ln)
+                runs.append((a, b))
+                pos = int((cum_full[a - 1] - skipped) % W)
+                i = a
+                while i < b:
+                    rest = b - i
+                    count = 241 if rest >= 243 else (240 if rest == 242 else rest)
+                    chunks.append((i, count))
+                    wr = min(count, RLE_MAX_WINDOW_WRITE, W - pos)
+                    inc[i + wr : i + count] = 0
+                    skipped += count - wr
+                    pos = (pos + wr) % W
+                    i += count
+            khat = np.zeros(n + 1, np.uint32)
+            np.cumsum(inc, out=khat[1:])
+    return runs, khat, chunks
+
+
 def encode_extended_optimal(
     data,
     *,
@@ -101,11 +150,8 @@ def encode_extended_optimal(
     if not _native.available():
         raise RuntimeError(
             f"optimal parse needs the native engine: {_native.load_error()}")
-    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS, RLE_MAX_WINDOW_WRITE
-    from ..exceptions import ExcessBitsError
 
     data = np.frombuffer(bytes(data), dtype=np.uint8)
-    n = data.shape[0]
     W = 1 << window
     dict_bytes = None
     if dictionary is not None:
@@ -115,44 +161,27 @@ def encode_extended_optimal(
     minp = compute_min_pattern_size(window, literal)
     cap = minp + 131
 
-    # Forced-RLE regions over byte runs >= 13 (empirical sweep: below 13
-    # forced RLE displaces cheaper match coverage, above it leaves RLE wins
-    # on the table; the run's first byte stays in
-    # the DP so the decoder's previous-window-byte equals the run byte),
-    # with the per-token <=8-byte no-wrap window writes folded into khat.
-    RUN_MIN = 13
-    runs = []
-    khat = None
-    if n:
-        starts_r = np.flatnonzero(np.concatenate(([True], data[1:] != data[:-1])))
-        lens_r = np.diff(np.append(starts_r, n))
-        long_mask = lens_r >= RUN_MIN
-        if np.any(long_mask):
-            inc = np.ones(n, np.int64)
-            cum_full = np.cumsum(inc)  # writes-before assuming no skips
-            skipped = 0
-            for rs, ln in zip(starts_r[long_mask], lens_r[long_mask]):
-                a, b = int(rs) + 1, int(rs + ln)
-                runs.append((a, b))
-                pos = int((cum_full[a - 1] - skipped) % W)
-                i = a
-                while i < b:
-                    rest = b - i
-                    count = 241 if rest >= 243 else (240 if rest == 242 else rest)
-                    wr = min(count, RLE_MAX_WINDOW_WRITE, W - pos)
-                    inc[i + wr : i + count] = 0
-                    skipped += count - wr
-                    pos = (pos + wr) % W
-                    i += count
-            khat = np.zeros(n + 1, np.uint32)
-            np.cumsum(inc, out=khat[1:])
+    runs, khat, _chunks = opt_ext_runs(data, window)
 
     flen, fidx = _native.native_v1_tables(
         data, window, literal, cap, dictionary=dict_bytes, ext_dict=True,
         khat=khat)
     sizes, kinds = _native.native_opt_ext_plan(
         data, flen, fidx, window, literal, khat=khat, runs=runs)
+    return opt_ext_emit(data, sizes, kinds, fidx, window=window,
+                        literal=literal,
+                        custom_dict=dictionary is not None)
 
+
+def opt_ext_emit(data, sizes, kinds, fidx, *, window: int, literal: int,
+                 custom_dict: bool) -> bytes:
+    """Bit-pack an extended optimal token plan (sizes/kinds per token,
+    fidx the full per-position index table) into a complete stream —
+    shared by the host and device optimal pipelines."""
+    from ..constants import HUFFMAN_CODES, HUFFMAN_LENGTHS
+    from ..exceptions import ExcessBitsError
+
+    minp = compute_min_pattern_size(window, literal)
     T = sizes.shape[0]
     starts = np.zeros(T, np.int64)
     if T:
@@ -205,7 +234,7 @@ def encode_extended_optimal(
     values[pos[has_f2] + 1] = f2val[has_f2]
     nbits[pos[has_f2] + 1] = f2bits[has_f2]
 
-    head = build_header(window, literal, dictionary is not None, True, False)
+    head = build_header(window, literal, custom_dict, True, False)
     all_values = np.concatenate([np.array([v for v, _ in head], np.uint32), values])
     all_nbits = np.concatenate([np.array([n for _, n in head], np.uint8), nbits])
     packed, _ = pack_bits_np(all_values, all_nbits)

@@ -33,7 +33,8 @@ import numpy as np
 from ..constants import compute_min_pattern_size
 from .plan import RLE_MAX
 
-__all__ = ["encode_ext_device_commit", "encode_ext_device_greedy"]
+__all__ = ["encode_ext_device_commit", "encode_ext_device_greedy",
+           "encode_ext_device_optimal"]
 
 
 def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
@@ -671,4 +672,164 @@ def encode_ext_device_commit(
             window, literal, dictionary is not None, True, False)
         assert hn == 8
         results.append(bytes([hv]) + body + tail)
+    return results
+
+
+def _opt_ext_stage():
+    import jax
+
+    def impl(packed, data, npos, sb_pos, sb_cw, *, window: int,
+             literal: int, NP: int, need_data: bool):
+        import jax.numpy as jnp
+
+        from ..ops.opt_parse_ext import opt_ext_choice_device
+
+        choice, cost0, bad = opt_ext_choice_device(
+            packed, data, npos, sb_pos, sb_cw, window=window,
+            literal=literal, NP=NP, need_data=need_data)
+        return choice.astype(jnp.uint8), cost0, bad
+
+    return jax.jit(impl, static_argnames=("window", "literal", "NP",
+                                          "need_data"))
+
+
+_opt_ext_stage = functools.lru_cache(maxsize=1)(_opt_ext_stage)
+
+
+def encode_ext_device_optimal(
+    shards,
+    *,
+    window: int = 10,
+    literal: int = 8,
+    dictionary: bytes | None = None,
+) -> list[bytes]:
+    """Optimal (minimum-bit) EXTENDED encode with the DP on the TPU.
+
+    Byte-identical to :func:`tamp_tpu.engine.encode.encode_extended_optimal`
+    (the host hybrid RLE+DP, the repo's beyond-reference ratio mode,
+    ~-1.5% vs reference greedy): the host detects forced-RLE regions and
+    builds khat-aware match tables (opt_ext_runs + the native chain
+    builder), the device runs the full-lookback blocked min-plus DP
+    (ops/opt_parse_ext — the round-4 parked plan, executed with the
+    partial-group analysis revised), and the host expands the choice
+    plane (native_opt_ext_walk) and bit-packs with the shared emit.
+
+    The DP — the O(N*K^2) half — is what moves on-chip here; the
+    cap-maxpat tables stay on the host chain engine in this mode (the
+    device table kernel computes model-stream tables for the planned
+    pipeline; wiring the khat-compacted stream through it is the
+    remaining step to a fully device-fed optimal mode).
+    """
+    import jax.numpy as jnp
+
+    from .. import _native
+    from ..constants import HUFFMAN_LENGTHS
+    from ..exceptions import ExcessBitsError
+    from ..ops.opt_parse import INF
+    from .encode import opt_ext_emit, opt_ext_runs
+
+    if not _native.available():
+        raise RuntimeError(
+            f"device optimal encode needs the native engine "
+            f"({_native.load_error()})")
+    W = 1 << window
+    minp = compute_min_pattern_size(window, literal)
+    maxpat = minp + 131
+    dict_bytes = None
+    if dictionary is not None:
+        dict_bytes = bytes(dictionary)
+        if len(dict_bytes) != W:
+            raise ValueError("Dictionary-window size mismatch.")
+
+    datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in shards]
+    S = len(datas)
+    if S == 0:
+        return []
+
+    def prep_one(arr):
+        n = arr.shape[0]
+        runs, khat, chunks = opt_ext_runs(arr, window)
+        flen, fidx = _native.native_v1_tables(
+            arr, window, literal, maxpat, dictionary=dict_bytes,
+            ext_dict=True, khat=khat)
+        wpos = (khat[:n] if khat is not None
+                else np.arange(n, dtype=np.uint32))
+        room = (W - (wpos & (W - 1))).astype(np.uint32)
+        bound = np.full(n, 255, np.uint32)
+        interior = np.zeros(n, np.uint32)
+        if runs:
+            starts_a = np.asarray([a for a, _ in runs], np.int64)
+            idx = np.searchsorted(starts_a, np.arange(n), side="right")
+            has = idx < starts_a.shape[0]
+            bound[has] = np.minimum(
+                starts_a[idx[has]] - np.flatnonzero(has), 255)
+            for a, b in runs:
+                interior[a:b] = 1
+        cstarts = np.asarray([c[0] for c in chunks], np.int32)
+        ccost = np.asarray(
+            [int(HUFFMAN_LENGTHS[12]) + int(HUFFMAN_LENGTHS[(c[1] - 2) >> 4])
+             - 1 + 4 for c in chunks], np.int32)
+        packed = (flen.astype(np.uint32) | ((room - 1) << 8)
+                  | (bound << 23) | (interior << 31)).view(np.int32)
+        return packed, fidx, runs, cstarts, ccost
+
+    if S > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os as _os
+
+        with ThreadPoolExecutor(max_workers=_os.cpu_count() or 4) as ex:
+            prep = list(ex.map(prep_one, datas))
+    else:
+        prep = [prep_one(datas[0])]
+
+    maxN = max(d.shape[0] for d in datas)
+    MP = 1 << max(10, (max(maxN, 1) - 1).bit_length())
+    npos = np.asarray([d.shape[0] for d in datas], np.int32)
+    pk = np.zeros((S, MP), np.int32)
+    for i, p in enumerate(prep):
+        pk[i, : p[0].shape[0]] = p[0]
+    need_data = literal < 8
+    if need_data:
+        db = np.zeros((S, MP), np.int32)
+        for i, d in enumerate(datas):
+            db[i, : d.shape[0]] = d
+    else:
+        db = pk  # dead operand keeps the call signature static
+    kmax = max((p[3].shape[0] for p in prep), default=0)
+    C = 1 << max(7, (max(kmax, 1) - 1).bit_length())
+    sb_pos = MP + np.tile(np.arange(C, dtype=np.int32), (S, 1))
+    sb_cw = np.zeros((S, C), np.int32)
+    for i, p in enumerate(prep):
+        k = p[3].shape[0]
+        sb_pos[i, :k] = p[3]
+        sb_cw[i, :k] = p[4]
+
+    stage = _opt_ext_stage()
+    groups = [list(range(S))]
+    if S >= 4:
+        h = (S + 1) // 2
+        groups = [list(range(h)), list(range(h, S))]
+    handles = [
+        stage(jnp.asarray(pk[g]), jnp.asarray(db[g]), jnp.asarray(npos[g]),
+              jnp.asarray(sb_pos[g]), jnp.asarray(sb_cw[g]),
+              window=window, literal=literal, NP=MP, need_data=need_data)
+        for g in groups
+    ]
+    results: list[bytes] = []
+    for g, h in zip(groups, handles):
+        ch = np.asarray(h[0])
+        cost0 = np.asarray(h[1])
+        bad = np.asarray(h[2])
+        for j, i in enumerate(g):
+            arr = datas[i]
+            n = arr.shape[0]
+            if bool(bad[j]) or int(cost0[j]) >= INF:
+                raise ExcessBitsError
+            _pk, fidx, runs, _cs, _cc = prep[i]
+            sizes, kinds = _native.native_opt_ext_walk(
+                ch[j, :n], minp, runs)
+            results.append(opt_ext_emit(
+                arr, sizes, kinds, fidx, window=window, literal=literal,
+                custom_dict=dictionary is not None))
     return results

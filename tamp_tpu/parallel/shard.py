@@ -306,16 +306,24 @@ def compress_sharded(
             lazy_matching=lazy_matching, dictionary=dictionary)
         return _pack_frame(blobs, len(data), shard_size)
     if engine == "device-optimal":
-        # Fully on-chip minimum-bit v1 parse (engine/pipeline
-        # .encode_v1_device_optimal) — byte-identical to
-        # encode_v1(parse="optimal").
+        # Minimum-bit parse with the DP on the device: v1 is fully
+        # on-chip (engine/pipeline.encode_v1_device_optimal, byte-equal to
+        # encode_v1(parse="optimal")); extended runs the full-lookback
+        # blocked min-plus DP on the device with host tables/emit
+        # (engine/pipeline_ext.encode_ext_device_optimal, byte-equal to
+        # encode_extended_optimal).
         if extended:
-            raise ValueError("device-optimal is v1-format only; the host "
-                             "engine='optimal' covers extended")
-        from ..engine.pipeline import encode_v1_device_optimal
+            from ..engine.pipeline_ext import encode_ext_device_optimal
 
-        blobs = encode_v1_device_optimal(
-            shards, window=window, literal=literal, dictionary=dictionary)
+            blobs = encode_ext_device_optimal(
+                shards, window=window, literal=literal,
+                dictionary=dictionary)
+        else:
+            from ..engine.pipeline import encode_v1_device_optimal
+
+            blobs = encode_v1_device_optimal(
+                shards, window=window, literal=literal,
+                dictionary=dictionary)
         return _pack_frame(blobs, len(data), shard_size)
     if engine == "device-commit":
         # Fully on-chip encode: MXU search + Pallas planned-fields commit,

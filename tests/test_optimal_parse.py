@@ -227,3 +227,107 @@ def test_device_optimal_dp_matches_native_choice(rng):
             got.append(int(ch[t]))
             t += int(ch[t])
         assert got == list(sizes), n
+
+
+def test_device_ext_optimal_byte_parity():
+    """The device-side EXTENDED optimal DP (ops/opt_parse_ext: full
+    K=maxpat lookback, U-unrolled blocked min-plus, forced-RLE weight
+    chains) must be byte-identical to encode_extended_optimal across
+    windows, literals, custom dictionaries, corpus classes, and the
+    B=1024 / K=134 block-boundary geometry, and every stream must decode
+    in the reference implementation."""
+    import sys
+
+    import numpy as np
+
+    import tamp_tpu
+    from tamp_tpu import _native
+    from tamp_tpu.dictionary import dictionary_array
+    from tamp_tpu.engine.encode import encode_extended_optimal
+    from tamp_tpu.engine.pipeline_ext import encode_ext_device_optimal
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    sys.path.insert(0, "/root/reference")
+    try:
+        import tamp as ref
+    except Exception:
+        ref = None
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(77)
+
+    def gen(kind, n, lmask=255):
+        if kind == 0:  # run-heavy: forced regions + chunk splits
+            out, tot = [], 0
+            while tot < n:
+                c = int(rng.integers(1, 500))
+                out.append(bytes([int(rng.integers(0, 6)) & lmask]) * c)
+                tot += c
+            return b"".join(out)[:n]
+        if kind == 1:  # periodic: ext matches vs ring-end room caps
+            p = bytes(int(x) & lmask for x in
+                      rng.integers(0, 256, int(rng.integers(2, 30))))
+            return (p * (n // len(p) + 1))[:n]
+        if kind == 2:
+            words = [bytes(int(x) & lmask
+                           for x in rng.integers(97, 123, int(k)))
+                     for k in rng.integers(2, 9, 64)]
+            return bytes([1 & lmask]).join(
+                words[int(i) % 64]
+                for i in rng.integers(0, 64, max(n // 4, 4)))[:n]
+        return bytes(int(x) & lmask for x in rng.integers(0, 256, n))
+
+    cases = []
+    for window, literal in [(8, 8), (10, 8), (11, 6), (12, 8)]:
+        lmask = (1 << literal) - 1
+        for kind in range(4):
+            n = int(rng.integers(300, min((1 << window) * 3, 5000)))
+            dct = None
+            if kind == 1:
+                base = dictionary_array(1 << window, literal=literal)
+                dct = bytes(((base.astype(np.int32) + 1)
+                             % (lmask + 1)).astype(np.uint8))
+            cases.append((window, literal, gen(kind, n, lmask), dct))
+    for n in (1023, 1024, 1025, 1024 + 134, 2048 + 133):
+        cases.append((10, 8, gen(2, n), None))
+    cases.append((10, 8, b"", None))
+
+    for window, literal, s, dct in cases:
+        got = encode_ext_device_optimal(
+            [s], window=window, literal=literal, dictionary=dct)[0]
+        want = encode_extended_optimal(
+            s, window=window, literal=literal, dictionary=dct)
+        assert got == want, (window, literal, len(s))
+        assert bytes(tamp_tpu.decompress(got, dictionary=dct)) == s
+        if ref is not None and dct is None:
+            assert bytes(ref.decompress(got)) == s
+
+
+def test_device_ext_optimal_container():
+    """Container engine='device-optimal' with extended=True: byte-equal to
+    the host optimal container and round-trips."""
+    import numpy as np
+
+    from tamp_tpu import _native
+    from tamp_tpu.parallel.shard import compress_sharded, decompress_sharded
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(5)
+    words = [bytes(rng.integers(97, 123, int(k)))
+             for k in rng.integers(2, 9, 64)]
+    data = (b" ".join(words[int(i) % 64]
+                      for i in rng.integers(0, 64, 3000))
+            + bytes([9]) * 500)
+    blob = compress_sharded(data, shard_size=4096, engine="device-optimal",
+                            extended=True)
+    want = compress_sharded(data, shard_size=4096, engine="optimal",
+                            extended=True)
+    assert blob == want
+    assert bytes(decompress_sharded(blob)) == data

@@ -204,6 +204,16 @@ def main() -> int:
                         data, window=w, literal=lit, dictionary=dict_)
                     assert bytes(ref.decompress(opt, **ref_kw)) == data, \
                         "ext-optimal rt"
+                    if n <= 4096 and rng.random() < 0.4:
+                        # device extended-optimal DP (round 5): byte-equal
+                        # to the host hybrid DP at every config
+                        from tamp_tpu.engine.pipeline_ext import (
+                            encode_ext_device_optimal)
+
+                        dev = encode_ext_device_optimal(
+                            [data], window=w, literal=lit,
+                            dictionary=dict_)[0]
+                        assert dev == opt, "device ext-optimal parity"
                 else:
                     from tamp_tpu.engine.encode import encode_v1
 
