@@ -250,6 +250,20 @@ def main() -> int:
           f"{dev_trials} device-planned, {gd_trials} greedy-device), "
           f"{fails} failures",
           flush=True)
+    if not fails and os.environ.get("TAMP_FUZZ_SLOW", "1") == "1":
+        # the >=1 MB geometry legs (tests marked slow) ride along with
+        # every campaign so the per-class ratio pins get exercised at the
+        # geometry their percentages were measured at
+        import subprocess
+
+        print("running slow-marker 1 MB legs...", flush=True)
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "-q", "-m", "slow",
+             "tests/"],
+            env={**os.environ, "TAMP_SLOW": "1"},
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        print(f"slow legs rc={rc}", flush=True)
+        fails += 1 if rc else 0
     return 1 if fails else 0
 
 
