@@ -268,59 +268,6 @@ def encode_ext_device_greedy(
 
     packed = [None] * S
     holes = [None] * S
-    if device_tables:
-        import jax.numpy as jnp
-
-        T = 128 if interpret else 1024
-        maxN = max(d.shape[0] for d in datas)
-        MP = 1 << max(T.bit_length() - 1,
-                      (max(maxN, 1) - 1).bit_length())
-        if sparse:
-            MP = max(MP, 4096)  # walker bitmap DMAs 128-word chunks
-        npos = np.asarray([d.shape[0] for d in datas], np.int32)
-        dh_u8 = np.zeros((S, MP), np.uint8)
-        for i, d in enumerate(datas):
-            dh_u8[i, : d.shape[0]] = d
-        narrow = window <= 10
-        dict_d = jnp.asarray(dict_arr.astype(np.int32))
-        groups = [list(range(S))]
-        if S >= 4:
-            h = (S + 1) // 2
-            groups = [list(range(h)), list(range(h, S))]
-        if sparse:
-            stage = _greedy_sparse_stage()
-            handles = [
-                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
-                      window=window, literal=literal,
-                      dlast=int(dict_arr[-1]), lazy=lazy_matching, NP=MP,
-                      T=T, interpret=interpret)
-                for g in groups
-            ]
-            mult = 2 if lazy_matching else 1
-            for g, h in zip(groups, handles):
-                bm, ent, _st = h
-                bm_host = np.asarray(bm)
-                bits = np.unpackbits(
-                    bm_host.view(np.uint8), axis=1, bitorder="little")
-                ne = bits.sum(axis=1, dtype=np.int64)
-                kmax = int(ne.max()) * mult if len(g) else 0
-                K = 1 << max(9, (max(kmax, 1) - 1).bit_length())
-                K = min(K, int(ent.shape[1]))
-                ent_host = np.asarray(ent[:, :K])
-                for j, i in enumerate(g):
-                    holes[i] = (bits[j], ent_host[j], int(ne[j]))
-        else:
-            stage = _greedy_tables_stage()
-            handles = [
-                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
-                      window=window, lazy=lazy_matching, NP=MP,
-                      narrow=narrow, T=T, interpret=interpret)
-                for g in groups
-            ]
-            for g, h in zip(groups, handles):
-                planes = [np.asarray(p).astype(np.int32) for p in h]
-                for j, i in enumerate(g):
-                    packed[i] = [p[j] for p in planes]
 
     def commit(i: int) -> bytes:
         data = datas[i]
@@ -368,6 +315,72 @@ def encode_ext_device_greedy(
             lazy_matching=lazy_matching,
             dictionary=None if dictionary is None else dict_bytes,
             tables=tabs, exact_tables=True)
+
+    if device_tables:
+        import jax.numpy as jnp
+
+        T = 128 if interpret else 1024
+        maxN = max(d.shape[0] for d in datas)
+        MP = 1 << max(T.bit_length() - 1,
+                      (max(maxN, 1) - 1).bit_length())
+        if sparse:
+            MP = max(MP, 4096)  # walker bitmap DMAs 128-word chunks
+        npos = np.asarray([d.shape[0] for d in datas], np.int32)
+        dh_u8 = np.zeros((S, MP), np.uint8)
+        for i, d in enumerate(datas):
+            dh_u8[i, : d.shape[0]] = d
+        narrow = window <= 10
+        dict_d = jnp.asarray(dict_arr.astype(np.int32))
+        groups = [list(range(S))]
+        if S >= 4:
+            h = (S + 1) // 2
+            groups = [list(range(h)), list(range(h, S))]
+        if sparse:
+            stage = _greedy_sparse_stage()
+            handles = [
+                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
+                      window=window, literal=literal,
+                      dlast=int(dict_arr[-1]), lazy=lazy_matching, NP=MP,
+                      T=T, interpret=interpret)
+                for g in groups
+            ]
+            mult = 2 if lazy_matching else 1
+            from concurrent.futures import ThreadPoolExecutor
+
+            import os as _os
+
+            # Commits start the moment their group's pull lands: the
+            # native walk (GIL-released) for group 1 overlaps group 2's
+            # d2h RPCs instead of waiting for the whole batch.
+            with ThreadPoolExecutor(
+                    max_workers=_os.cpu_count() or 4) as ex:
+                futs = {}
+                for g, h in zip(groups, handles):
+                    bm, ent, _st = h
+                    bm_host = np.asarray(bm)
+                    bits = np.unpackbits(
+                        bm_host.view(np.uint8), axis=1, bitorder="little")
+                    ne = bits.sum(axis=1, dtype=np.int64)
+                    kmax = int(ne.max()) * mult if len(g) else 0
+                    K = 1 << max(9, (max(kmax, 1) - 1).bit_length())
+                    K = min(K, int(ent.shape[1]))
+                    ent_host = np.asarray(ent[:, :K])
+                    for j, i in enumerate(g):
+                        holes[i] = (bits[j], ent_host[j], int(ne[j]))
+                        futs[i] = ex.submit(lambda i=i: commit(i))
+                return [futs[i].result() for i in range(S)]
+        else:
+            stage = _greedy_tables_stage()
+            handles = [
+                stage(jnp.asarray(dh_u8[g]), jnp.asarray(npos[g]), dict_d,
+                      window=window, lazy=lazy_matching, NP=MP,
+                      narrow=narrow, T=T, interpret=interpret)
+                for g in groups
+            ]
+            for g, h in zip(groups, handles):
+                planes = [np.asarray(p).astype(np.int32) for p in h]
+                for j, i in enumerate(g):
+                    packed[i] = [p[j] for p in planes]
 
     if S > 1:
         from concurrent.futures import ThreadPoolExecutor
