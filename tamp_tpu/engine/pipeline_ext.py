@@ -86,10 +86,13 @@ def _ext_device_stage_impl(dh_u8, rc_a, rc_b, npos, dict_arr, *,
     if pallas_tables:
         from ..ops.match_ext_pallas import ext_tables_pallas
 
-        # bigger chunks amortize the R slack lanes (R - T is W-independent):
-        # ~15% fewer lane-ops at T=2048; small windows keep the
-        # better-pipelining unrolled T=1024 form
-        ST = 2048 if (window >= 12 and NP % 2048 == 0) else 1024
+        # bigger chunks amortize the R slack lanes (R - T is W-independent,
+        # and the swar kernel's word-lane slack rounds to 128 words): the
+        # non-lazy path runs the swar kernel at T=2048 everywhere; lazy
+        # (probe family, byte kernel) keeps the better-pipelining unrolled
+        # T=1024 form below w12
+        ST = 2048 if ((window >= 12 or not lazy) and NP % 2048 == 0) \
+            else 1024
         tabs = ext_tables_pallas(
             dh_u8, npos, dict_arr, window_bits=window, LEXT=maxpat,
             T=ST, n_chunks=NP // ST, probe=lazy)

@@ -326,14 +326,287 @@ def _kernel(C_ref, d_ref, *refs,
                 out_sem.at[k]).wait()
 
 
+_M7F = 0x7F7F7F7F
+_M80 = -0x7F7F7F80  # 0x80808080 as int32
+
+
+def _kernel_swar(C_ref, d_ref, Cp_ref, dp_ref, n_ref, *refs,
+                 window_bits: int, LEXT: int, T: int, R: int, R4: int,
+                 LSEG: int, LSEG4: int, n_chunks: int, ext_family: bool):
+    """SWAR quarter-lane variant of _kernel for the fori band blocks.
+
+    The round-5 ledger's roll-dominance finding: each scan round's
+    ``pltpu.roll`` over (128, R) byte lanes is the kernel's dominant
+    cost.  Here the fori blocks work on 4-bytes-per-int32 WORD lanes
+    (128, R4 ~= R/4): per 8-band group ONE packed-word roll + a SWAR
+    nonzero-byte mask (the per-byte add never carries across byte
+    boundaries) yields the mismatch bits for 4 positions at once; the
+    next-mismatch suffix-min scan runs its 6 rounds on quarter-width
+    lanes; per-phase assembly rebuilds exact byte-resolution runs from
+    the in-word mismatch bits plus the word-level scan.  Scores
+    accumulate PHASE-MAJOR (4 rows per family) and the XLA wrapper
+    interleaves them back (one cheap transpose+reshape) before merging
+    with the byte-resolution plane that the two peeled blocks + glue
+    diagonals still produce with the original code (they own the stash
+    and are a fixed ~2-block cost).  No probe family: lazy configs keep
+    the byte kernel.
+    """
+    n_out = 2 if ext_family else 1
+    outs_ph = refs[:n_out]          # (S, 4, MP4) phase-major scores
+    outs_b = refs[n_out: 2 * n_out]  # (S, 1, MP) peeled+glue byte scores
+    (seg_buf, d_buf, seg4_buf, d4_buf, a8, cb8, ebb, mmb, vst, gb,
+     res_ph, res_b, in_sem, out_sem) = refs[2 * n_out:]
+    W = 1 << window_bits
+    wb = window_bits
+    BLK = 128
+    RB = R + BLK
+    n_blk = W // BLK
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    t0 = i * T
+    T4 = T // 4
+    slot = lax.rem(i, 2)
+    nxt = 1 - slot
+    npos = n_ref[0, 0, 0]
+
+    def in_copies(sl, sh, idx):
+        # word offsets as idx * (T // 4): Mosaic must PROVE the dynamic
+        # slice offset divisible by the 128-lane tiling, which a literal
+        # multiplication by a static multiple shows and (idx * T) // 4
+        # does not
+        t = idx * T
+        return (
+            pltpu.make_async_copy(
+                C_ref.at[sh, :, pl.ds(t, LSEG)], seg_buf.at[sl],
+                in_sem.at[sl, 0]),
+            pltpu.make_async_copy(
+                d_ref.at[sh, :, pl.ds(t, R)], d_buf.at[sl],
+                in_sem.at[sl, 1]),
+            pltpu.make_async_copy(
+                Cp_ref.at[sh, :, pl.ds(idx * (T // 4), LSEG4)],
+                seg4_buf.at[sl], in_sem.at[sl, 2]),
+            pltpu.make_async_copy(
+                dp_ref.at[sh, :, pl.ds(idx * (T // 4), R4)],
+                d4_buf.at[sl], in_sem.at[sl, 3]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in in_copies(slot, s, i):
+            cp.start()
+
+    @pl.when(i + 1 < n_chunks)
+    def _():
+        for cp in in_copies(nxt, s, i + 1):
+            cp.start()
+
+    for cp in in_copies(slot, s, i):
+        cp.wait()
+
+    # ---- packed base rows: cb8[j0][q] = words of C at byte offset
+    # t0 + 4q + j0 (j0 = 0..7), from 4 byte-phase pre-shifts ------------
+    segp = seg4_buf[slot]            # (1, LSEG4) packed
+    nxtw = pltpu.roll(segp, LSEG4 - 1, 1)
+    c4 = [segp]
+    for sft in (1, 2, 3):
+        lo = (segp >> (8 * sft)) & ((1 << (32 - 8 * sft)) - 1)
+        c4.append(lo | (nxtw << (32 - 8 * sft)))
+    for j0 in range(8):
+        row = c4[j0 % 4]
+        if j0 >= 4:
+            row = pltpu.roll(row, LSEG4 - 1, 1)
+        cb8[j0: j0 + 1, :] = row
+    dbc4 = jnp.broadcast_to(d4_buf[slot], (8, R4))
+
+    # invalid-target bytes (t0 + 4q + c >= npos) force MISMATCH bits
+    PH_BITS = (0x80, 0x8000, 0x800000, -0x80000000)  # byte-c flag bits
+    qi1 = lax.broadcasted_iota(jnp.int32, (1, R4), 1)
+    base_abs = t0 + 4 * qi1
+    iv = jnp.zeros((1, R4), jnp.int32)
+    for c in range(4):
+        iv = iv | jnp.where(base_abs + c >= npos,
+                            jnp.int32(PH_BITS[c]), 0)
+
+    qi = lax.broadcasted_iota(jnp.int32, (BLK, R4), 1)
+    bi4 = lax.broadcasted_iota(jnp.int32, (BLK, R4), 0)
+    i4 = 4 * qi
+    BIG = jnp.int32(1 << 20)
+
+    # slab width: group rolls read slab[q + 2a], q < R4, a < 16; LSEG4
+    # >= R4 + 32 always holds (W >= 256), so the slice never clips
+    R4P = R4 + 32
+    # Two group-roll strategies (the dynamic word offset bb//4 is not
+    # 128-aligned, so a pl.ds slice cannot pre-narrow the segment): at
+    # big windows ONE full-width roll + 16 narrow slab rolls wins (the
+    # segment is ~W/4 words; 16 full-width rolls per block measured
+    # +11% at w15); at small windows the extra materialized slab costs
+    # more than the narrow rolls save (w12 measured the reverse).
+    slab_mode = LSEG4 > 4 * R4P
+
+    def swar_block(blk, acc):
+        bb = blk * BLK
+        if slab_mode:
+            slab = pltpu.roll(cb8[:, :], (LSEG4 - (bb // 4)) % LSEG4,
+                              1)[:, :R4P]
+        for a in range(BLK // 8):
+            if slab_mode:
+                g8 = pltpu.roll(slab, (R4P - 2 * a) % R4P, 1)
+            else:
+                g8 = pltpu.roll(cb8[:, :],
+                                (LSEG4 - (bb // 4 + 2 * a)) % LSEG4, 1)
+            x = g8[:, :R4] ^ dbc4
+            nz = (((x & _M7F) + _M7F) | x) & _M80
+            mmb[8 * a: 8 * a + 8, :] = nz | iv
+        mmf = mmb[:, :]
+        # per-phase mismatch flags; G = first mismatch byte in each word
+        zs = [jnp.where((mmf & PH_BITS[p]) != 0, i4 + p, BIG)
+              for p in range(4)]
+        G = jnp.minimum(jnp.minimum(zs[0], zs[1]),
+                        jnp.minimum(zs[2], zs[3]))
+        k = 1
+        while k <= (LEXT + 3) // 4:   # suffix-min window >= LEXT bytes
+            G = jnp.minimum(G, pltpu.roll(G, R4 - k, 1))
+            k *= 2
+        Gs1 = pltpu.roll(G, R4 - 1, 1)
+        Sp = [None] * 4
+        Sp[3] = jnp.minimum(zs[3], Gs1)
+        for p in (2, 1, 0):
+            Sp[p] = jnp.minimum(zs[p], Sp[p + 1])
+        band = bi4 + bb
+        xb = t0 + i4 + band
+        rows16, rowsx = [], []
+        for p in range(4):
+            run = Sp[p] - (i4 + p)
+            xp = (xb + p) & (W - 1)
+            capq = W - xp
+            u = jnp.minimum(run, capq)
+            st = capq - 1
+            sc16 = jnp.where(band <= W - 16,
+                             (jnp.minimum(u, 16) << wb) + st, -1)
+            rows16.append(jnp.max(sc16, axis=0, keepdims=True))
+            if ext_family:
+                scx = jnp.where(band <= W - LEXT,
+                                (jnp.minimum(u, LEXT) << wb) + st, -1)
+                rowsx.append(jnp.max(scx, axis=0, keepdims=True))
+        upd = jnp.concatenate(rows16 + rowsx, axis=0)  # (4*n_out, R4)
+        return jnp.maximum(acc, upd)
+
+    acc0 = jnp.full((4 * n_out, R4), -1, jnp.int32)
+    acc = lax.fori_loop(0, n_blk - 2, swar_block, acc0)
+
+    # ---- the two peeled blocks + glue: original byte-space code --------
+    # (they own the glue stash; fixed ~2-block cost at any window)
+    d = d_buf[slot]
+    dbc = jnp.broadcast_to(d, (8, R))
+    seg = seg_buf[slot]
+    for j0 in range(8):
+        a8[j0: j0 + 1, :] = pltpu.roll(seg, (LSEG - j0) % LSEG, 1)
+    ri_b = lax.broadcasted_iota(jnp.int32, (BLK, R), 1)
+    bi_b = lax.broadcasted_iota(jnp.int32, (BLK, R), 0)
+    neg1 = jnp.full((1, R), -1.0, _F)
+    s16_m = sx_m = neg1
+    for blk in (n_blk - 2, n_blk - 1):
+        slab8 = a8[:, pl.ds(blk * BLK, RB)]
+        for a in range(BLK // 8):
+            g = pltpu.roll(slab8, (RB - 8 * a) % RB, 1)
+            ebb[8 * a: 8 * a + 8, :] = (g[:, :R] == dbc).astype(_F)
+        lrb = _runs(ebb[:, :], R, LEXT)
+        band = bi_b + blk * BLK
+        x = (t0 + ri_b + band) & (W - 1)
+        capq = (W - x).astype(_F)
+        slot_term = capq - 1.0
+        uq = jnp.minimum(lrb, capq)
+        sc = jnp.where(band <= W - 16,
+                       jnp.minimum(uq, 16.0) * W + slot_term, -1.0)
+        s16_m = jnp.maximum(s16_m, jnp.max(sc, axis=0, keepdims=True))
+        if ext_family:
+            sc = jnp.where(band <= W - LEXT,
+                           jnp.minimum(uq, float(LEXT)) * W + slot_term,
+                           -1.0)
+            sx_m = jnp.maximum(sx_m, jnp.max(sc, axis=0, keepdims=True))
+        lo = max(blk * BLK, W - _ND)
+        hi = (blk + 1) * BLK
+        if hi > lo:
+            vst[lo - (W - _ND): hi - (W - _ND), :] = (
+                lrb[lo - blk * BLK: hi - blk * BLK, :])
+
+    segR = seg[:, :R]
+    sg8 = jnp.broadcast_to(segR, (8, R))
+    for j in range(8):
+        a8[j: j + 1, :R] = pltpu.roll(d, (R - (7 - j)) % R, 1)
+    db8 = a8[:, :R]
+    for a_g in range(_ND // 8):
+        base = _ND - 8 * a_g - 7
+        g = pltpu.roll(db8, (R - base) % R, 1)
+        gb[8 * a_g: 8 * a_g + 8, :] = (g == sg8).astype(_F)
+    gv = _runs(gb[:, :], R, LEXT).astype(jnp.int32)
+    v = vst[:, :].astype(jnp.int32)
+    ri_g = lax.broadcasted_iota(jnp.int32, (_ND, R), 1)
+    dd = _ND - lax.broadcasted_iota(jnp.int32, (_ND, R), 0)
+    tau = (t0 + ri_g) & (W - 1)
+    tau_ge = tau >= dd
+    x_cross = tau - dd
+    x_old = x_cross + W
+
+    def gscore(vv, gg, cap_pat, dd_max):
+        glued = dd + jnp.minimum(gg, cap_pat - dd)
+        val_cross = jnp.minimum(
+            jnp.where(vv >= dd, glued, vv), W - x_cross)
+        val_old = jnp.minimum(vv, W - x_old)
+        val = jnp.minimum(jnp.where(tau_ge, val_cross, val_old), cap_pat)
+        xx = jnp.where(tau_ge, x_cross, x_old)
+        ok = (dd >= 1) & (dd <= dd_max)
+        sc = jnp.where(ok, val * W + (W - 1 - xx), -1)
+        return jnp.max(sc, axis=0, keepdims=True)
+
+    s16_b = jnp.maximum(s16_m.astype(jnp.int32), gscore(v, gv, 16, 15))
+    if ext_family:
+        sx_b = jnp.maximum(sx_m.astype(jnp.int32),
+                           gscore(v, gv, LEXT, LEXT - 1))
+
+    # ---- stream out -----------------------------------------------------
+    @pl.when(i > 0)
+    def _():
+        for k in range(n_out):
+            pltpu.make_async_copy(
+                res_ph.at[k], outs_ph[k].at[s, :, pl.ds((i - 1) * T4, T4)],
+                out_sem.at[k]).wait()
+            pltpu.make_async_copy(
+                res_b.at[k], outs_b[k].at[s, :, pl.ds((i - 1) * T, T)],
+                out_sem.at[n_out + k]).wait()
+
+    res_ph[0] = acc[0:4, :T4]
+    res_b[0] = s16_b[:, :T]
+    if ext_family:
+        res_ph[1] = acc[4:8, :T4]
+        res_b[1] = sx_b[:, :T]
+    for k in range(n_out):
+        pltpu.make_async_copy(
+            res_ph.at[k], outs_ph[k].at[s, :, pl.ds(i * T4, T4)],
+            out_sem.at[k]).start()
+        pltpu.make_async_copy(
+            res_b.at[k], outs_b[k].at[s, :, pl.ds(t0, T)],
+            out_sem.at[n_out + k]).start()
+
+    @pl.when(i == n_chunks - 1)
+    def _():
+        for k in range(n_out):
+            pltpu.make_async_copy(
+                res_ph.at[k], outs_ph[k].at[s, :, pl.ds(i * T4, T4)],
+                out_sem.at[k]).wait()
+            pltpu.make_async_copy(
+                res_b.at[k], outs_b[k].at[s, :, pl.ds(t0, T)],
+                out_sem.at[n_out + k]).wait()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_bits", "LEXT", "T", "n_chunks", "probe",
-                     "unroll", "interpret", "families"))
+                     "unroll", "interpret", "families", "swar"))
 def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
                       T: int = 1024, n_chunks: int = 1, probe: bool = False,
                       unroll: bool | None = None, interpret: bool = False,
-                      families: str = "both"):
+                      families: str = "both", swar: bool | None = None):
     """Match-table families for S shards (same contract as
     ops.match_ext_mxu.ext_tables_device).
 
@@ -348,6 +621,11 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     device mode needs no cap-LEXT plane, and at LEXT == 16 the ext family
     would be a byte-for-byte duplicate of the cap-16 one (two wasted
     mscore reductions and two wasted output planes per chunk).
+
+    ``swar`` selects the quarter-lane packed-word kernel for the fori
+    band blocks (_kernel_swar; default: windows >= 12 without the probe
+    family).  Identical outputs; the per-band work runs on R/4 word
+    lanes instead of R byte lanes.
     """
     if families not in ("both", "f16"):
         raise ValueError("families must be 'both' or 'f16'")
@@ -355,12 +633,30 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
     W = 1 << window_bits
     if W < 256 or T % 128:
         raise ValueError("ext_tables_pallas needs W >= 256, T % 128 == 0")
+    if swar is None:
+        # measured uniformly faster at every window (w10 20.8 vs 31.4
+        # ms/MB, w12 52 vs 91, w15 510 vs 680); the probe family keeps
+        # the byte kernel
+        swar = not probe
+    if swar and probe:
+        raise ValueError("the swar kernel has no probe family; "
+                         "use swar=False for lazy configs")
+    if swar and T % 512 and not interpret:
+        raise ValueError("swar needs T % 512 == 0 (word-chunk DMA offsets "
+                         "must be provably 128-aligned)")
     MP = dh_b.shape[1]
     # R slack: the glue rows consume runs at dd <= LEXT-1, each reading
     # the full suffix-min window past its shifted lane (see _runs)
     R = _round_up(T + max(LEXT + 129,
                           LEXT - 1 + _scan_window(LEXT) + 10), 128)
     LSEG = _round_up(R + W, 128)
+    R4 = 0
+    if swar:
+        R4 = _round_up(T // 4 + 128, 128)
+        # word-segment constraints: the slab reads up to R4 + 32 words
+        # past any block base, and the packed DMA slice SIZE (LSEG // 4)
+        # must itself be 128-word aligned — round LSEG up to 512 bytes
+        LSEG = _round_up(max(LSEG, 4 * (R4 + 32)), 512)
     S = dh_b.shape[0]
     n_out = (4 if ext_family else 2) + (2 if probe else 0)
 
@@ -377,6 +673,71 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
         return C, d
 
     C2, d2 = jax.vmap(build)(dh_b, npos)
+
+    if swar:
+        LSEG4 = LSEG // 4
+        MP4 = MP // 4
+        T4 = T // 4
+        du8 = dict_arr.astype(jnp.uint8)
+
+        def buildp(dh):
+            cb = jnp.concatenate([du8, dh, jnp.zeros(LSEG, jnp.uint8)])
+            Cp = lax.bitcast_convert_type(cb.reshape(-1, 4), jnp.int32)
+            db = jnp.concatenate([dh, jnp.zeros(4 * R4, jnp.uint8)])
+            dp = lax.bitcast_convert_type(db.reshape(-1, 4), jnp.int32)
+            return Cp, dp
+
+        Cp2, dp2 = jax.vmap(buildp)(dh_b)
+        n_in = jnp.zeros((S, 1, 8), jnp.int32).at[:, 0, 0].set(npos)
+        n_fam = 2 if ext_family else 1
+        kern = functools.partial(
+            _kernel_swar, window_bits=window_bits, LEXT=LEXT, T=T, R=R,
+            R4=R4, LSEG=LSEG, LSEG4=LSEG4, n_chunks=n_chunks,
+            ext_family=ext_family)
+        outs = pl.pallas_call(
+            kern,
+            grid=(S, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, 8), lambda s, i: (s, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)
+                       for _ in range(2 * n_fam)],
+            out_shape=(
+                [jax.ShapeDtypeStruct((S, 4, MP4), jnp.int32)
+                 for _ in range(n_fam)]
+                + [jax.ShapeDtypeStruct((S, 1, MP), jnp.int32)
+                   for _ in range(n_fam)]),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, LSEG), jnp.int32),
+                pltpu.VMEM((2, 1, R), jnp.int32),
+                pltpu.VMEM((2, 1, LSEG4), jnp.int32),
+                pltpu.VMEM((2, 1, R4), jnp.int32),
+                pltpu.VMEM((8, LSEG), jnp.int32),
+                pltpu.VMEM((8, LSEG4), jnp.int32),
+                pltpu.VMEM((128, R), _F),
+                pltpu.VMEM((128, R4), jnp.int32),
+                pltpu.VMEM((_ND, R), _F),
+                pltpu.VMEM((_ND, R), _F),
+                pltpu.VMEM((n_fam, 4, T4), jnp.int32),
+                pltpu.VMEM((n_fam, 1, T), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2 * n_fam,)),
+            ],
+            interpret=interpret,
+        )(C2.reshape(S, 1, -1), d2.reshape(S, 1, -1),
+          Cp2.reshape(S, 1, -1), dp2.reshape(S, 1, -1), n_in)
+        res = []
+        for k in range(n_fam):
+            full = outs[k].transpose(0, 2, 1).reshape(S, MP)
+            sc = jnp.maximum(full, outs[n_fam + k].reshape(S, MP))
+            res.append(sc >> window_bits)
+            res.append((W - 1) - (sc & (W - 1)))
+        return tuple(res)
 
     if unroll is None:
         # straight-line blocks pipeline slightly better (w10: 31.1 vs 32.4
@@ -417,7 +778,8 @@ def ext_tables_pallas(dh_b, npos, dict_arr, *, window_bits: int, LEXT: int,
 
 def ext_tables_pallas_host(data, dictionary, window_bits: int, maxpat: int,
                            T: int = 128, probe: bool = False,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           swar: bool | None = None):
     """Host convenience wrapper (pads one shard, pulls results) — used by
     the oracle-parity tests; production use keeps the outputs on device."""
     import numpy as np
@@ -435,7 +797,7 @@ def ext_tables_pallas_host(data, dictionary, window_bits: int, maxpat: int,
         jnp.asarray(np.ascontiguousarray(dictionary, np.uint8)
                     .astype(np.int32)),
         window_bits=window_bits, LEXT=maxpat, T=T, n_chunks=n_chunks,
-        probe=probe, interpret=interpret)
+        probe=probe, interpret=interpret, swar=swar)
     return tuple(np.asarray(o)[0, :N] for o in outs)
 
 

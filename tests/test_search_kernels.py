@@ -194,3 +194,31 @@ def test_rcummin_matches_associative_scan(rng):
             jnp.minimum, jnp.asarray(x), reverse=True, axis=1)
         got = _rcummin(jnp.asarray(x), jnp.int32(mp + 300))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("w", [9, 10, 12])
+def test_ext_pallas_swar_kernel_match_oracle(w, rng):
+    # The quarter-lane packed-word kernel (round 5: SWAR mismatch masks +
+    # word-level suffix-min scan + phase-major scores, peeled blocks and
+    # glue in byte space) against the oracles — both families, n > W so
+    # ring wrap, glue diagonals and the old-window zone all fire.
+    from tamp_tpu.constants import compute_min_pattern_size
+    from tamp_tpu.engine.search_np import match_tables_ext
+    from tamp_tpu.ops.match_ext_pallas import ext_tables_pallas_host
+
+    minp = compute_min_pattern_size(w, 8)
+    maxpat = minp + 131
+    d = dictionary_array(1 << w, literal=8)
+    n = (1 << w) + 600
+    text = (b"ababcabcd abcd abcd xyz " * 200)[: n // 2]
+    data = (text + bytes([7]) * 150
+            + bytes(rng.getrandbits(8) for _ in range(n - len(text) - 150)))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    t16 = match_tables(arr, d, w)
+    lxo, ixo = match_tables_ext(arr, d, w, maxpat)
+    l16, i16, lx, ix = ext_tables_pallas_host(
+        arr, d, w, maxpat, probe=False, swar=True)
+    np.testing.assert_array_equal(l16, t16.len16.astype(np.int32))
+    np.testing.assert_array_equal(i16, t16.idx16)
+    np.testing.assert_array_equal(lx, lxo)
+    np.testing.assert_array_equal(ix, ixo)
