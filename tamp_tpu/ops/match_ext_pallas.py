@@ -57,6 +57,16 @@ write-head slot (j = 0) comes from the dd = 1 glue row and the probe
 glue zone (dd = 1..14) reuses the stash shifted by one band.  Element
 parity for all three families:
 tests/test_search_kernels.py::test_ext_pallas_tables_match_oracle.
+
+Round 5 added a second formulation, ``_kernel_swar`` (the default for
+non-probe configs): the fori band blocks work on 4-bytes-per-int32 WORD
+lanes — measured, the per-round ``pltpu.roll`` is the byte kernel's
+dominant cost, so quartering the rolled lanes (packed-word group rolls,
+carry-free SWAR mismatch masks, a word-level next-mismatch scan, exact
+per-phase byte reassembly, phase-major score carries interleaved by one
+XLA transpose) bought w10 31->21, w12 91->52, w15 680->510 ms/MB with
+element parity held on chip.  The peeled blocks and glue diagonals stay
+in byte space in both kernels.
 """
 
 from __future__ import annotations
